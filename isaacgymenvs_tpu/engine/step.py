@@ -1,0 +1,78 @@
+"""The physics step: substeps of (FK -> free dynamics -> contact-impulse
+solve -> integrate), as one pure function suitable for jit/vmap/scan.
+
+This is the TPU equivalent of the reference's
+`for _ in range(control_freq_inv): gym.simulate(sim)` inner loop
+(vec_task.py:375-386) with `substeps` PhysX sub-integrations per dt
+(cfg/task/Ant.yaml:43-44).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..model.spec import Model
+from . import contacts as _contacts
+from . import dynamics as _dyn
+from .dynamics import Kin, SimParams, SimState
+
+
+class StepOut(NamedTuple):
+    state: SimState
+    kin: Kin  # kinematics at the END of the step (for obs)
+    body_force: jax.Array  # (nbody, 3) last-substep contact force per body
+    body_torque: jax.Array  # (nbody, 3)
+
+
+def _masks(model: Model):
+    anc = jnp.asarray(_dyn.ancestor_matrix(model))
+    dof_mask = jnp.asarray(_dyn.dof_ancestor_mask(model))
+    sq_adr = jnp.asarray(_dyn.scalar_dof_q_adr(model))
+    return (anc, dof_mask), sq_adr
+
+
+def physics_step(
+    model: Model,
+    state: SimState,
+    qfrc: jax.Array,
+    params: SimParams,
+    xfrc: jax.Array | None = None,
+    plane_friction: jax.Array | float = 1.0,
+) -> StepOut:
+    """Advance one env-step dt = params.dt (substeps * solver_iterations
+    internal slices). qfrc: (nv,) applied generalized forces, held constant
+    across substeps (matching set_dof_actuation_force_tensor semantics,
+    reference ant.py:281-285). xfrc: optional (nbody, 6) external spatial
+    forces (origin-referenced world coords), e.g. random pushes.
+    """
+    masks, sq_adr = _masks(model)
+    anc = masks[0]
+    n_slices = params.substeps * params.solver_iterations
+    h = params.dt / n_slices
+
+    def substep(carry, _):
+        q, qd = carry
+        kin = _dyn.forward_kinematics(model, q, qd)
+        f_ext = jnp.zeros((model.nbody, 6)) if xfrc is None else xfrc
+        qdd, minv_mul, _ = _dyn.forward_dynamics(
+            model, q, qd, qfrc, f_ext, params, masks, sq_adr, kin=kin, h=h
+        )
+        qd_free = qd + h * qdd
+        con = _contacts.contact_data(model, kin, anc, plane_friction)
+        sol = _contacts.solve_contacts(model, con, minv_mul, qd_free, h, params)
+        bf, bt = _contacts.body_contact_wrench(model, sol, kin, h)
+        q2 = _dyn.integrate_positions(model, q, sol.qd, h)
+        return (q2, sol.qd), (bf, bt)
+
+    (q, qd), (bf, bt) = jax.lax.scan(
+        substep, (state.q, state.qd), None, length=n_slices
+    )
+    kin = _dyn.forward_kinematics(model, q, qd)
+    return StepOut(
+        state=SimState(q=q, qd=qd),
+        kin=kin,
+        body_force=bf[-1],
+        body_torque=bt[-1],
+    )

@@ -1,0 +1,229 @@
+"""URDF parser -> Model.
+
+Host-side, trace-time. Supports the URDF subset used by the reference asset
+tree (cartpole.urdf, anymal_c, franka_description, ...; loaded via
+gym.load_asset, e.g. reference isaacgymenvs/tasks/cartpole.py:90-93).
+
+Behavioral notes mirroring the reference engine:
+  * `fix_base` mirrors gymapi.AssetOptions.fix_base_link: the root link is
+    welded to the world (cartpole.py:91 sets it True).
+  * Links with an <inertial> mass but no (or zero) <inertia> tensor get a
+    rotational inertia computed from their collision geometry scaled to the
+    given mass, matching PhysX's behavior of deriving inertia from shapes.
+  * URDF <box size> is FULL extents (MJCF uses half sizes).
+"""
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from . import spec
+from .spec import (
+    FIXED,
+    FREE,
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_CYLINDER,
+    GEOM_SPHERE,
+    HINGE,
+    SLIDE,
+    Model,
+    ModelBuilder,
+)
+
+_JOINT_MAP = {
+    "revolute": HINGE,
+    "continuous": HINGE,
+    "prismatic": SLIDE,
+    "fixed": FIXED,
+    "floating": FREE,
+}
+
+
+def _fv(s, n=None):
+    v = np.fromstring(s, sep=" ", dtype=np.float64)
+    if n is not None and v.size != n:
+        raise ValueError(f"expected {n} floats, got {s!r}")
+    return v
+
+
+def _quat_from_rpy(rpy):
+    r, p, y = rpy
+    cy, sy = np.cos(y / 2), np.sin(y / 2)
+    cr, sr = np.cos(r / 2), np.sin(r / 2)
+    cp, sp = np.cos(p / 2), np.sin(p / 2)
+    return np.array(
+        [
+            cy * sr * cp - sy * cr * sp,
+            cy * cr * sp + sy * sr * cp,
+            sy * cr * cp - cy * sr * sp,
+            cy * cr * cp + sy * sr * sp,
+        ]
+    )
+
+
+def _origin(elem):
+    if elem is None:
+        return np.zeros(3), np.array([0.0, 0, 0, 1])
+    xyz = _fv(elem.get("xyz", "0 0 0"), 3)
+    rpy = _fv(elem.get("rpy", "0 0 0"), 3)
+    return xyz, _quat_from_rpy(rpy)
+
+
+def _parse_geometry(geo_elem):
+    """Returns (gtype, size3) or None for unsupported (mesh) geometry."""
+    if geo_elem is None:
+        return None
+    box = geo_elem.find("box")
+    if box is not None:
+        full = _fv(box.get("size"), 3)
+        return GEOM_BOX, full / 2.0
+    sph = geo_elem.find("sphere")
+    if sph is not None:
+        r = float(sph.get("radius"))
+        return GEOM_SPHERE, np.array([r, 0, 0])
+    cyl = geo_elem.find("cylinder")
+    if cyl is not None:
+        r = float(cyl.get("radius"))
+        l = float(cyl.get("length"))
+        return GEOM_CYLINDER, np.array([r, l / 2.0, 0])
+    cap = geo_elem.find("capsule")
+    if cap is not None:
+        r = float(cap.get("radius"))
+        l = float(cap.get("length"))
+        return GEOM_CAPSULE, np.array([r, l / 2.0, 0])
+    return None  # mesh etc.
+
+
+def _geom_inertia_unit_density(gtype, size):
+    if gtype == GEOM_SPHERE:
+        return spec.sphere_inertia(1.0, size[0])
+    if gtype == GEOM_CAPSULE:
+        return spec.capsule_inertia(1.0, size[0], size[1])
+    if gtype == GEOM_BOX:
+        return spec.box_inertia(1.0, size)
+    if gtype == GEOM_CYLINDER:
+        return spec.cylinder_inertia(1.0, size[0], size[1])
+    raise ValueError(gtype)
+
+
+def load_urdf(path: str, fix_base: bool = False, default_friction: float = 1.0) -> Model:
+    root = ET.parse(path).getroot()
+    return parse_urdf(root, fix_base=fix_base, default_friction=default_friction)
+
+
+def parse_urdf(root: ET.Element, fix_base: bool = False, default_friction: float = 1.0) -> Model:
+    links = {l.get("name"): l for l in root.findall("link")}
+    joints = list(root.findall("joint"))
+
+    children_of = {}
+    child_links = set()
+    for j in joints:
+        parent = j.find("parent").get("link")
+        child = j.find("child").get("link")
+        children_of.setdefault(parent, []).append(j)
+        child_links.add(child)
+    roots = [n for n in links if n not in child_links]
+    if len(roots) != 1:
+        raise ValueError(f"URDF must have exactly one root link, got {roots}")
+
+    b = ModelBuilder()
+
+    def link_props(link_elem):
+        """mass, com, inertia(3x3 about com, link frame), geoms list."""
+        geoms = []
+        for col in link_elem.findall("collision"):
+            g = _parse_geometry(col.find("geometry"))
+            if g is None:
+                continue
+            gpos, gquat = _origin(col.find("origin"))
+            geoms.append((g[0], gpos, gquat, g[1]))
+        inertial = link_elem.find("inertial")
+        mass, com, inertia = 0.0, np.zeros(3), np.zeros((3, 3))
+        if inertial is not None:
+            mass = float(inertial.find("mass").get("value")) if inertial.find("mass") is not None else 0.0
+            com, com_quat = _origin(inertial.find("origin"))
+            it = inertial.find("inertia")
+            if it is not None:
+                ixx = float(it.get("ixx", 0))
+                iyy = float(it.get("iyy", 0))
+                izz = float(it.get("izz", 0))
+                ixy = float(it.get("ixy", 0))
+                ixz = float(it.get("ixz", 0))
+                iyz = float(it.get("iyz", 0))
+                inertia = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+            if np.allclose(inertia, 0.0) and mass > 0 and geoms:
+                # derive rotational inertia from collision shapes at given mass
+                unit_m, total = 0.0, np.zeros((3, 3))
+                for gtype, gpos, gquat, gsize in geoms:
+                    m_u, i_u = _geom_inertia_unit_density(gtype, gsize)
+                    unit_m += m_u
+                scale = mass / max(unit_m, 1e-12)
+                # compute about the link's inertial com
+                for gtype, gpos, gquat, gsize in geoms:
+                    m_u, i_u = _geom_inertia_unit_density(gtype, gsize)
+                    m_g = m_u * scale
+                    from .mjcf import _quat_to_mat_xyzw
+
+                    R = _quat_to_mat_xyzw(gquat)
+                    i_rot = R @ (i_u * scale) @ R.T
+                    d = gpos - com
+                    total += i_rot + m_g * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+                inertia = total
+        return mass, com, inertia, geoms
+
+    def add_link(link_name, parent_idx, jnt_elem):
+        link_elem = links[link_name]
+        mass, com, inertia, geoms = link_props(link_elem)
+        if jnt_elem is None:
+            # root link
+            jtype = FIXED if fix_base else FREE
+            pos, quat = np.zeros(3), np.array([0.0, 0, 0, 1])
+            axis = np.array([0.0, 0, 1])
+            jname = f"{link_name}_root"
+            rng, damping, max_eff, max_vel = (None, None), 0.0, np.inf, np.inf
+        else:
+            jtype = _JOINT_MAP[jnt_elem.get("type")]
+            pos, quat = _origin(jnt_elem.find("origin"))
+            ax = jnt_elem.find("axis")
+            axis = _fv(ax.get("xyz"), 3) if ax is not None else np.array([1.0, 0, 0])
+            n = np.linalg.norm(axis)
+            axis = axis / n if n > 0 else np.array([1.0, 0, 0])
+            jname = jnt_elem.get("name")
+            lim = jnt_elem.find("limit")
+            rng, max_eff, max_vel = (None, None), np.inf, np.inf
+            if lim is not None:
+                if jnt_elem.get("type") != "continuous" and lim.get("lower") is not None:
+                    rng = (float(lim.get("lower")), float(lim.get("upper")))
+                if lim.get("effort") is not None:
+                    max_eff = float(lim.get("effort"))
+                if lim.get("velocity") is not None:
+                    max_vel = float(lim.get("velocity"))
+            dyn = jnt_elem.find("dynamics")
+            damping = float(dyn.get("damping", 0)) if dyn is not None else 0.0
+
+        idx = b.add_body(
+            parent=parent_idx,
+            name=link_name,
+            pos=pos,
+            quat=quat,
+            jnt_type=jtype,
+            jnt_axis=axis,
+            jnt_pos=np.zeros(3),  # URDF joints anchor at the child frame origin
+            joint_name=jname,
+            mass=mass,
+            ipos=com,
+            inertia=inertia,
+            damping=damping,
+            limit=rng,
+            max_effort=max_eff,
+            max_velocity=max_vel,
+        )
+        for gtype, gpos, gquat, gsize in geoms:
+            b.add_geom(idx, gtype, gpos, gquat, gsize, default_friction)
+        for child_joint in children_of.get(link_name, []):
+            add_link(child_joint.find("child").get("link"), idx, child_joint)
+
+    add_link(roots[0], -1, None)
+    return b.finalize()
