@@ -1,0 +1,269 @@
+"""Vectorized task runtime: the TPU-native equivalent of the reference's
+`VecTask` (reference isaacgymenvs/tasks/base/vec_task.py:207-562).
+
+Design: an environment is a pair of PURE functions over a batched pytree
+`EnvState` -- `reset(rng) -> (EnvState, obs)` and
+`step(EnvState, actions) -> (EnvState, obs, reward, reset, extras)` -- built
+once from a `VecTask` subclass that supplies per-single-env hooks. The env
+batch is a leading axis produced with `vmap`; under `jit` the whole step is
+one compiled program, and under `shard_map`/NamedSharding the env axis
+shards across TPU chips (SURVEY.md section 2.5).
+
+Step semantics mirror the reference exactly (vec_task.py:360-408 and e.g.
+tasks/cartpole.py post_physics_step):
+  1. clip actions, apply them, advance physics `control_freq_inv` times;
+  2. progress += 1;
+  3. envs flagged done on the PREVIOUS step are reset (partial reset as a
+     branch-free where-select over freshly sampled init states);
+  4. observations computed on the post-reset state;
+  5. reward + new done flags computed (so reward for a just-reset env is
+     evaluated on its fresh state -- same quirk as the reference);
+  6. `timeout` = progress >= max_episode_length - 1 AND done
+     (vec_task.py:393-394), exposed via extras["time_outs"].
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..engine import SimParams, SimState, physics_step
+from ..engine import dynamics as _dyn
+from ..model.spec import Model
+
+
+@struct.dataclass
+class EnvState:
+    """Batched environment state: everything that evolves across steps.
+
+    The TPU analogue of the reference's global sim buffers + per-env
+    bookkeeping buffers (vec_task.py:301-324 allocate_buffers)."""
+
+    sim: SimState  # leaves shaped (num_envs, ...)
+    progress: jax.Array  # (num_envs,) int32, steps since reset
+    reset_buf: jax.Array  # (num_envs,) bool, done flags from last step
+    rng: jax.Array  # (2,) single fold-in key for the whole batch
+    actions: jax.Array  # (num_envs, num_acts) last applied actions
+    task: Any = None  # task-specific pytree (targets, potentials, ...)
+
+
+class VecTask:
+    """Base class: subclasses define the model and the 4 pure hooks.
+
+    Hooks operate on a SINGLE env (no batch axis); this class vmaps them.
+
+    Required hooks:
+      build_model() -> (Model, SimParams)                 [host, once]
+      initial_task_state(rng) -> task pytree              [per env]
+      sample_init(rng) -> (q, qd, task)                   [per env]
+      compute_force(action, q, qd, task) -> (qfrc, xfrc)  [pre-physics]
+      observe(q, qd, kin, bf, bt, task, actions, progress) -> obs
+      reward_done(obs, q, qd, kin, task, actions, progress)
+          -> (reward, done, new_task)
+    """
+
+    # subclasses set these in __init__
+    num_obs: int = 0
+    num_acts: int = 0
+    num_states: int = 0  # asymmetric-critic privileged state (0 = none)
+
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        env_cfg = cfg.get("env", {})
+        self.num_envs = int(env_cfg.get("numEnvs", 64))
+        self.max_episode_length = int(env_cfg.get("episodeLength", 500))
+        self.clip_obs = float(env_cfg.get("clipObservations", np.inf))
+        self.clip_actions = float(env_cfg.get("clipActions", np.inf))
+        self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 1))
+        self.model, self.sim_params = self.build_model()
+        # env-step dt as seen by the task (vec_task control_freq_inv semantics)
+        self.dt = self.sim_params.dt * self.control_freq_inv
+
+    # ---- hooks ---------------------------------------------------------
+    def build_model(self) -> Tuple[Model, SimParams]:
+        raise NotImplementedError
+
+    def sample_init(self, rng: jax.Array):
+        raise NotImplementedError
+
+    def compute_force(self, action, q, qd, task):
+        raise NotImplementedError
+
+    def observe(self, q, qd, kin, bf, bt, task, actions, progress):
+        raise NotImplementedError
+
+    def reward_done(self, obs, q, qd, kin, task, actions, progress):
+        raise NotImplementedError
+
+    def observe_state(self, q, qd, kin, bf, bt, task, actions, progress):
+        """Privileged state for asymmetric actor-critic (num_states > 0)."""
+        raise NotImplementedError
+
+    # ---- helpers shared by tasks --------------------------------------
+    def sim_params_from_cfg(self) -> SimParams:
+        """SimParams from the reference-schema `sim:` cfg block
+        (cfg/task/*.yaml keys dt/substeps/gravity, physx solver knobs)."""
+        sim = self.cfg.get("sim", {})
+        physx = sim.get("physx", {})
+        return SimParams(
+            dt=float(sim.get("dt", 1.0 / 60.0)),
+            substeps=int(sim.get("substeps", 2)),
+            solver_pgs_iterations=int(physx.get("num_position_iterations", 4)) * 2,
+            gravity=jnp.asarray(sim.get("gravity", [0.0, 0.0, -9.81]), jnp.float32),
+            max_depenetration_velocity=float(
+                physx.get("max_depenetration_velocity", 10.0)
+            ),
+            contact_margin=float(physx.get("contact_offset", 0.02)),
+        )
+
+    def qfrc_from_actuators(self, action: jax.Array) -> jax.Array:
+        """Scatter per-actuator efforts into the dof vector:
+        qfrc[dof(a)] += gear[a] * action[a] (the DOF_MODE_EFFORT path,
+        reference cartpole.py pre_physics_step / ant.py:281-285)."""
+        m = self.model
+        qfrc = jnp.zeros(m.nv)
+        return qfrc.at[jnp.asarray(np.asarray(m.actuator_dof))].add(m.gear * action)
+
+    def pd_torque(self, targets, q, qd, kp, kd):
+        """PD position-drive torque on the actuated scalar dofs
+        (DOF_MODE_POS semantics: stiffness*(target-q) - damping*qd)."""
+        m = self.model
+        sq = np.asarray(_dyn.scalar_dof_q_adr(m))
+        dof_q = q[jnp.asarray(np.maximum(sq, 0))]
+        act_dof = jnp.asarray(np.asarray(m.actuator_dof))
+        err = targets - dof_q[act_dof]
+        tau = kp * err - kd * qd[act_dof]
+        return jnp.zeros(m.nv).at[act_dof].add(tau)
+
+    def root_state(self, q, qd, kin) -> jax.Array:
+        """(13,) root actor state: pos, quat(xyzw), linvel, angvel -- the
+        actor_root_state_tensor layout (reference ant.py:382-385)."""
+        qa = self.model.q_adr[0]
+        va = self.model.v_adr[0]
+        return jnp.concatenate(
+            [q[qa : qa + 3], q[qa + 3 : qa + 7], qd[va : va + 3], qd[va + 3 : va + 6]]
+        )
+
+    def dof_slices(self, q, qd):
+        """(ndof,) scalar dof positions / velocities (skips free-joint dofs),
+        i.e. the dof_state_tensor view (reference cartpole.py:52-55)."""
+        m = self.model
+        sq = np.asarray(_dyn.scalar_dof_q_adr(m))
+        keep = np.where(sq >= 0)[0]
+        return q[jnp.asarray(sq[keep])], qd[jnp.asarray(keep)]
+
+    @property
+    def scalar_dof_indices(self) -> np.ndarray:
+        """Indices into qd of the scalar (hinge/slide) dofs."""
+        sq = np.asarray(_dyn.scalar_dof_q_adr(self.model))
+        return np.where(sq >= 0)[0]
+
+    # ---- the vectorized pure functions --------------------------------
+    def _one_env_physics(self, q, qd, qfrc, xfrc):
+        out = physics_step(
+            self.model,
+            SimState(q=q, qd=qd),
+            qfrc,
+            self.sim_params,
+            xfrc=xfrc,
+        )
+        return out.state.q, out.state.qd, out.body_force, out.body_torque
+
+    def reset(self, rng: jax.Array) -> Tuple[EnvState, jax.Array]:
+        """Full reset of all envs (reference vec_task.py:426 reset())."""
+        key, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, self.num_envs)
+        q, qd, task = jax.vmap(self.sample_init)(keys)
+        n = self.num_envs
+        zero_b = jnp.zeros((n, self.model.nbody, 3))
+        kin = jax.vmap(lambda qq, qv: _dyn.forward_kinematics(self.model, qq, qv))(q, qd)
+        actions = jnp.zeros((n, self.num_acts))
+        progress = jnp.zeros(n, jnp.int32)
+        obs = jax.vmap(self.observe)(
+            q, qd, kin, zero_b, zero_b, task, actions, progress
+        )
+        state = EnvState(
+            sim=SimState(q=q, qd=qd),
+            progress=progress,
+            reset_buf=jnp.zeros(n, bool),
+            rng=key,
+            actions=actions,
+            task=task,
+        )
+        return state, jnp.clip(obs, -self.clip_obs, self.clip_obs)
+
+    def step(
+        self, state: EnvState, actions: jax.Array
+    ) -> Tuple[EnvState, jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
+        """One vectorized env step; see module docstring for the exact
+        ordering contract vs the reference."""
+        n = self.num_envs
+        actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
+
+        # 1. apply actions + physics
+        q0, qd0 = state.sim.q, state.sim.qd
+        qfrc, xfrc = jax.vmap(self.compute_force)(actions, q0, qd0, state.task)
+
+        def control_loop(carry, _):
+            q, qd = carry
+            q, qd, bf, bt = jax.vmap(self._one_env_physics)(q, qd, qfrc, xfrc)
+            return (q, qd), (bf, bt)
+
+        (q, qd), (bfs, bts) = jax.lax.scan(
+            control_loop, (q0, qd0), None, length=self.control_freq_inv
+        )
+        bf, bt = bfs[-1], bts[-1]
+
+        # 2. bookkeeping
+        progress = state.progress + 1
+
+        # 3. partial resets of envs flagged done last step (branch-free)
+        key, sub = jax.random.split(state.rng)
+        init_q, init_qd, init_task = jax.vmap(self.sample_init)(
+            jax.random.split(sub, n)
+        )
+        done_prev = state.reset_buf
+
+        def sel(a, b):  # where over an arbitrary-rank batched leaf
+            mask = done_prev.reshape((n,) + (1,) * (a.ndim - 1))
+            return jnp.where(mask, a, b)
+
+        q = sel(init_q, q)
+        qd = sel(init_qd, qd)
+        task = jax.tree.map(sel, init_task, state.task)
+        bf = sel(jnp.zeros_like(bf), bf)
+        bt = sel(jnp.zeros_like(bt), bt)
+        progress = jnp.where(done_prev, 0, progress)
+
+        # 4. observe on the post-reset state
+        kin = jax.vmap(lambda qq, qv: _dyn.forward_kinematics(self.model, qq, qv))(q, qd)
+        obs = jax.vmap(self.observe)(q, qd, kin, bf, bt, task, actions, progress)
+        obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
+
+        # 5. reward + new done flags
+        reward, done, task = jax.vmap(self.reward_done)(
+            obs, q, qd, kin, task, actions, progress
+        )
+
+        # 6. timeout flag (vec_task.py:393-394)
+        timeout = (progress >= self.max_episode_length - 1) & done
+
+        extras = {"time_outs": timeout}
+        if self.num_states:
+            states = jax.vmap(self.observe_state)(
+                q, qd, kin, bf, bt, task, actions, progress
+            )
+            extras["states"] = jnp.clip(states, -self.clip_obs, self.clip_obs)
+
+        new_state = EnvState(
+            sim=SimState(q=q, qd=qd),
+            progress=progress,
+            reset_buf=done,
+            rng=key,
+            actions=actions,
+            task=task,
+        )
+        return new_state, obs, reward, done, extras

@@ -1,0 +1,483 @@
+"""PPO, in-repo (replaces rl_games' a2c_continuous for the TPU stack).
+
+Semantics mirror the rl_games agent the reference trains with
+(cfg/train/*PPO.yaml `params.config`; SURVEY.md section 2.4):
+  * rollout of `horizon_length` steps over all envs, then `mini_epochs` x
+    minibatched clipped-surrogate updates;
+  * running-mean-std obs and value normalization (normalize_input /
+    normalize_value);
+  * GAE(gamma, tau) with timeout value-bootstrap: shaped reward +=
+    gamma * V(s_t) * time_out (rl_games value_bootstrap);
+  * adaptive-KL learning-rate schedule, 'legacy' type: lr adjusted after
+    every minibatch from the analytic Gaussian KL vs the rollout policy
+    (reference learning/common_agent.py:216-236 mirrors the same);
+  * clipped value loss, bounds loss on mu (soft bound 1.1), entropy bonus;
+  * reward shaping by scale_value (reward_shaper).
+
+TPU design: the entire epoch -- rollout scan + all minibatch updates -- is
+ONE jitted function. The host loop only logs and checkpoints. Under a
+`Mesh`, env-batch leaves are sharded on the env axis and params are
+replicated; XLA inserts the gradient all-reduce (SURVEY.md section 2.5).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..envcore.vec_task import EnvState, VecTask
+from .networks import ActorCritic
+from .running_stats import (
+    RunningMeanStd,
+    rms_denormalize,
+    rms_normalize,
+    rms_update,
+)
+
+_LOG_2PI_E = float(np.log(2.0 * np.pi * np.e))
+
+
+class PPOConfig(NamedTuple):
+    """Static hyperparameters; names follow the reference train-yaml keys."""
+
+    gamma: float = 0.99
+    tau: float = 0.95
+    learning_rate: float = 3e-4
+    lr_schedule: str = "adaptive"
+    kl_threshold: float = 0.008
+    e_clip: float = 0.2
+    horizon_length: int = 16
+    minibatch_size: int = 32768
+    mini_epochs: int = 4
+    critic_coef: float = 2.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 0.0001
+    grad_norm: float = 1.0
+    truncate_grads: bool = True
+    clip_value: bool = True
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    value_bootstrap: bool = False
+    reward_scale: float = 1.0  # reward_shaper.scale_value
+    max_epochs: int = 500
+    score_to_win: float = 1e9
+    save_frequency: int = 0
+    min_lr: float = 1e-6
+    max_lr: float = 1e-2
+
+    @classmethod
+    def from_train_cfg(cls, params: Dict[str, Any]) -> "PPOConfig":
+        """Build from the reference-schema train dict (params.config)."""
+        c = params.get("config", params)
+        shaper = c.get("reward_shaper", {})
+        return cls(
+            gamma=float(c.get("gamma", 0.99)),
+            tau=float(c.get("tau", 0.95)),
+            learning_rate=float(c.get("learning_rate", 3e-4)),
+            lr_schedule=str(c.get("lr_schedule", "adaptive")),
+            kl_threshold=float(c.get("kl_threshold", 0.008)),
+            e_clip=float(c.get("e_clip", 0.2)),
+            horizon_length=int(c.get("horizon_length", 16)),
+            minibatch_size=int(c.get("minibatch_size", 32768)),
+            mini_epochs=int(c.get("mini_epochs", 4)),
+            critic_coef=float(c.get("critic_coef", 2.0)),
+            entropy_coef=float(c.get("entropy_coef", 0.0)),
+            bounds_loss_coef=float(c.get("bounds_loss_coef", 0.0) or 0.0),
+            grad_norm=float(c.get("grad_norm", 1.0)),
+            truncate_grads=bool(c.get("truncate_grads", True)),
+            clip_value=bool(c.get("clip_value", True)),
+            normalize_input=bool(c.get("normalize_input", True)),
+            normalize_value=bool(c.get("normalize_value", True)),
+            normalize_advantage=bool(c.get("normalize_advantage", True)),
+            value_bootstrap=bool(c.get("value_bootstrap", False)),
+            reward_scale=float(shaper.get("scale_value", 1.0)),
+            max_epochs=int(c.get("max_epochs", 500)),
+            score_to_win=float(c.get("score_to_win", 1e9)),
+            save_frequency=int(c.get("save_frequency", 0)),
+        )
+
+
+@struct.dataclass
+class PPOTrainState:
+    params: Any
+    opt_state: Any
+    lr: jax.Array  # dynamic (adaptive KL schedule)
+    obs_rms: RunningMeanStd
+    value_rms: RunningMeanStd
+    env_state: EnvState
+    obs: jax.Array  # (N, num_obs) last observation
+    key: jax.Array
+    ep_return: jax.Array  # (N,) running episode return (raw rewards)
+    ep_len: jax.Array  # (N,)
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    mu: jax.Array
+    sigma: jax.Array
+    logp: jax.Array
+    value: jax.Array  # raw (denormalized)
+    reward: jax.Array  # shaped + bootstrapped
+    done: jax.Array
+    ep_ret_done: jax.Array  # sum of returns of episodes finished this step
+    ep_len_done: jax.Array
+    n_done: jax.Array
+
+
+def _gaussian_logp(x, mu, log_sigma):
+    return jnp.sum(
+        -0.5 * ((x - mu) / jnp.exp(log_sigma)) ** 2
+        - log_sigma
+        - 0.5 * jnp.log(2.0 * jnp.pi),
+        axis=-1,
+    )
+
+
+def _policy_kl(mu0, log_s0, mu1, log_s1):
+    """Analytic KL(N0 || N1), reduced over action dims then batch
+    (rl_games policy_kl with fixed sigma)."""
+    s0sq = jnp.exp(2.0 * log_s0)
+    s1sq = jnp.exp(2.0 * log_s1)
+    kl = log_s1 - log_s0 + (s0sq + (mu1 - mu0) ** 2) / (2.0 * s1sq) - 0.5
+    return jnp.mean(jnp.sum(kl, axis=-1))
+
+
+class PPO:
+    """PPO trainer bound to a VecTask env."""
+
+    def __init__(self, env: VecTask, train_params: Dict[str, Any], seed: int = 0):
+        self.env = env
+        self.cfg = PPOConfig.from_train_cfg(train_params)
+        net_cfg = train_params.get("network", {})
+        mlp = net_cfg.get("mlp", {})
+        space = net_cfg.get("space", {}).get("continuous", {})
+        self.network = ActorCritic(
+            num_actions=env.num_acts,
+            units=tuple(mlp.get("units", (256, 128, 64))),
+            act=str(mlp.get("activation", "elu")),
+            d2rl=bool(mlp.get("d2rl", False)),
+            sigma_init=float(space.get("sigma_init", {}).get("val", 0.0)),
+            separate=bool(net_cfg.get("separate", False)),
+        )
+        self.seed = seed
+        self.batch_size = self.cfg.horizon_length * env.num_envs
+        self.minibatch_size = min(self.cfg.minibatch_size, self.batch_size)
+        assert self.batch_size % self.minibatch_size == 0, (
+            f"batch {self.batch_size} not divisible by minibatch "
+            f"{self.minibatch_size}"
+        )
+        self.num_minibatches = self.batch_size // self.minibatch_size
+        if self.cfg.truncate_grads:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(self.cfg.grad_norm),
+                optax.scale_by_adam(eps=1e-8),
+            )
+        else:
+            self.tx = optax.scale_by_adam(eps=1e-8)
+        self._train_epoch = jax.jit(self.train_epoch, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def init(self, key=None) -> PPOTrainState:
+        key = jax.random.PRNGKey(self.seed) if key is None else key
+        key, knet, kenv = jax.random.split(key, 3)
+        env_state, obs = self.env.reset(kenv)
+        params = self.network.init(knet, obs[:1])
+        n = self.env.num_envs
+        return PPOTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            lr=jnp.asarray(self.cfg.learning_rate),
+            obs_rms=RunningMeanStd.create((self.env.num_obs,)),
+            value_rms=RunningMeanStd.create(()),
+            env_state=env_state,
+            obs=obs,
+            key=key,
+            ep_return=jnp.zeros(n),
+            ep_len=jnp.zeros(n, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _norm_obs(self, rms, obs):
+        return rms_normalize(rms, obs) if self.cfg.normalize_input else obs
+
+    def rollout(self, ts: PPOTrainState):
+        cfg = self.cfg
+
+        def step_fn(carry, _):
+            env_state, obs, obs_rms, ep_ret, ep_len, key = carry
+            if cfg.normalize_input:
+                obs_rms = rms_update(obs_rms, obs)
+            nobs = self._norm_obs(obs_rms, obs)
+            mu, log_sigma, v_norm = self.network.apply(ts.params, nobs)
+            value = (
+                rms_denormalize(ts.value_rms, v_norm)
+                if cfg.normalize_value
+                else v_norm
+            )
+            key, ksample = jax.random.split(key)
+            sigma = jnp.exp(log_sigma)
+            action = mu + sigma * jax.random.normal(ksample, mu.shape)
+            logp = _gaussian_logp(action, mu, log_sigma)
+
+            env_state, next_obs, reward, done, extras = self.env.step(
+                env_state, action
+            )
+            shaped = reward * cfg.reward_scale
+            if cfg.value_bootstrap:
+                shaped = shaped + cfg.gamma * value * extras["time_outs"]
+
+            ep_ret = ep_ret + reward
+            ep_len = ep_len + 1
+            t = Transition(
+                obs=obs,
+                action=action,
+                mu=mu,
+                sigma=log_sigma,
+                logp=logp,
+                value=value,
+                reward=shaped,
+                done=done,
+                ep_ret_done=jnp.sum(jnp.where(done, ep_ret, 0.0)),
+                ep_len_done=jnp.sum(jnp.where(done, ep_len, 0)),
+                n_done=jnp.sum(done),
+            )
+            ep_ret = jnp.where(done, 0.0, ep_ret)
+            ep_len = jnp.where(done, 0, ep_len)
+            return (env_state, next_obs, obs_rms, ep_ret, ep_len, key), t
+
+        carry = (ts.env_state, ts.obs, ts.obs_rms, ts.ep_return, ts.ep_len, ts.key)
+        carry, traj = jax.lax.scan(step_fn, carry, None, length=cfg.horizon_length)
+        env_state, obs, obs_rms, ep_ret, ep_len, key = carry
+        ts = ts.replace(
+            env_state=env_state,
+            obs=obs,
+            obs_rms=obs_rms,
+            ep_return=ep_ret,
+            ep_len=ep_len,
+            key=key,
+        )
+        # bootstrap value for the state after the last transition
+        nobs = self._norm_obs(obs_rms, obs)
+        _, _, v_norm = self.network.apply(ts.params, nobs)
+        last_value = (
+            rms_denormalize(ts.value_rms, v_norm) if cfg.normalize_value else v_norm
+        )
+        return ts, traj, last_value
+
+    def _gae(self, traj: Transition, last_value):
+        cfg = self.cfg
+        not_done = 1.0 - traj.done.astype(jnp.float32)
+
+        def back(adv_next, inp):
+            reward, value, value_next, nd = inp
+            delta = reward + cfg.gamma * value_next * nd - value
+            adv = delta + cfg.gamma * cfg.tau * nd * adv_next
+            return adv, adv
+
+        values_next = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0
+        )
+        _, advantages = jax.lax.scan(
+            back,
+            jnp.zeros_like(last_value),
+            (traj.reward, traj.value, values_next, not_done),
+            reverse=True,
+        )
+        returns = advantages + traj.value
+        return advantages, returns
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, batch, value_rms, lr_unused=None):
+        cfg = self.cfg
+        nobs, action, old_mu, old_log_sigma, old_logp, old_vnorm, adv, ret_norm = batch
+        mu, log_sigma, v_norm = self.network.apply(params, nobs)
+        logp = _gaussian_logp(action, mu, log_sigma)
+        ratio = jnp.exp(logp - old_logp)
+        surr1 = adv * ratio
+        surr2 = adv * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+        if cfg.clip_value:
+            v_clipped = old_vnorm + jnp.clip(
+                v_norm - old_vnorm, -cfg.e_clip, cfg.e_clip
+            )
+            c_loss = jnp.maximum(
+                (v_norm - ret_norm) ** 2, (v_clipped - ret_norm) ** 2
+            )
+        else:
+            c_loss = (v_norm - ret_norm) ** 2
+        c_loss = jnp.mean(c_loss)
+
+        entropy = jnp.mean(jnp.sum(log_sigma + 0.5 * _LOG_2PI_E, axis=-1))
+        # bounds loss, soft bound 1.1 (rl_games bound_loss)
+        b_loss = jnp.mean(
+            jnp.sum(
+                jnp.maximum(mu - 1.1, 0.0) ** 2 + jnp.minimum(mu + 1.1, 0.0) ** 2,
+                axis=-1,
+            )
+        )
+        total = (
+            a_loss
+            + 0.5 * cfg.critic_coef * c_loss
+            - cfg.entropy_coef * entropy
+            + cfg.bounds_loss_coef * b_loss
+        )
+        kl = _policy_kl(old_mu, old_log_sigma, mu, log_sigma)
+        return total, (a_loss, c_loss, entropy, b_loss, kl)
+
+    def _update_lr(self, lr, kl):
+        cfg = self.cfg
+        if cfg.lr_schedule != "adaptive":
+            return lr
+        lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
+        lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
+        return jnp.clip(lr, cfg.min_lr, cfg.max_lr)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, ts: PPOTrainState):
+        """One full PPO epoch: rollout + mini_epochs of minibatch updates.
+        Jitted as a whole; returns (new_ts, metrics dict)."""
+        cfg = self.cfg
+        ts, traj, last_value = self.rollout(ts)
+        advantages, returns = self._gae(traj, last_value)
+
+        # value normalizer trains on the fresh values+returns
+        # (rl_games train_epoch: value_mean_std updated with both)
+        value_rms = ts.value_rms
+        if cfg.normalize_value:
+            value_rms = rms_update(value_rms, traj.value)
+            value_rms = rms_update(value_rms, returns)
+            old_vnorm = rms_normalize(value_rms, traj.value, clip=np.inf)
+            ret_norm = rms_normalize(value_rms, returns, clip=np.inf)
+        else:
+            old_vnorm = traj.value
+            ret_norm = returns
+        ts = ts.replace(value_rms=value_rms)
+
+        B = self.batch_size
+
+        def flat(x):
+            return x.reshape((B,) + x.shape[2:])
+
+        adv = flat(advantages)
+        if cfg.normalize_advantage:
+            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+
+        nobs_all = flat(self._norm_obs(ts.obs_rms, traj.obs))
+        dataset = (
+            nobs_all,
+            flat(traj.action),
+            flat(traj.mu),
+            flat(traj.sigma),
+            flat(traj.logp),
+            flat(old_vnorm),
+            adv,
+            flat(ret_norm),
+        )
+
+        def mini_epoch(carry, _):
+            params, opt_state, lr, key = carry
+            key, kperm = jax.random.split(key)
+            perm = jax.random.permutation(kperm, B)
+            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+
+            def minibatch(carry, mb):
+                params, opt_state, lr = carry
+                grads, aux = jax.grad(self._loss, has_aux=True)(
+                    params, mb, value_rms
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                params = optax.apply_updates(params, updates)
+                kl = aux[4]
+                lr = self._update_lr(lr, kl)
+                return (params, opt_state, lr), aux
+
+            mbs = jax.tree.map(
+                lambda x: x.reshape(
+                    (self.num_minibatches, self.minibatch_size) + x.shape[1:]
+                ),
+                shuffled,
+            )
+            (params, opt_state, lr), auxs = jax.lax.scan(
+                minibatch, (params, opt_state, lr), mbs
+            )
+            return (params, opt_state, lr, key), auxs
+
+        (params, opt_state, lr, key), auxs = jax.lax.scan(
+            mini_epoch,
+            (ts.params, ts.opt_state, ts.lr, ts.key),
+            None,
+            length=cfg.mini_epochs,
+        )
+        ts = ts.replace(
+            params=params, opt_state=opt_state, lr=lr, key=key
+        )
+        a_loss, c_loss, entropy, b_loss, kl = auxs
+        metrics = {
+            "a_loss": jnp.mean(a_loss),
+            "c_loss": jnp.mean(c_loss),
+            "entropy": jnp.mean(entropy),
+            "b_loss": jnp.mean(b_loss),
+            "kl": jnp.mean(kl[-1]),
+            "lr": lr,
+            "ep_return_sum": jnp.sum(traj.ep_ret_done),
+            "ep_len_sum": jnp.sum(traj.ep_len_done),
+            "n_episodes": jnp.sum(traj.n_done),
+            "reward_mean_step": jnp.mean(traj.reward),
+        }
+        return ts, metrics
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        max_epochs: int | None = None,
+        log_every: int = 10,
+        on_epoch=None,
+    ) -> Tuple[PPOTrainState, Dict[str, float]]:
+        """Host training loop. Returns final state + last metrics."""
+        cfg = self.cfg
+        ts = self.init()
+        max_epochs = max_epochs or cfg.max_epochs
+        n = self.env.num_envs
+        steps_per_epoch = cfg.horizon_length * n
+        game_returns: list = []  # last-100 finished episodes mean, rl_games-style
+        last_metrics: Dict[str, float] = {}
+        t_start = time.time()
+        for epoch in range(1, max_epochs + 1):
+            t0 = time.time()
+            ts, metrics = self._train_epoch(ts)
+            metrics = jax.device_get(metrics)
+            dt_epoch = time.time() - t0
+            n_eps = float(metrics["n_episodes"])
+            if n_eps > 0:
+                game_returns.append(float(metrics["ep_return_sum"]) / n_eps)
+                game_returns = game_returns[-100:]
+            mean_ret = float(np.mean(game_returns)) if game_returns else float("nan")
+            last_metrics = {
+                **{k: float(v) for k, v in metrics.items()},
+                "mean_episode_return": mean_ret,
+                "epoch": epoch,
+                "frames": epoch * steps_per_epoch,
+                "fps": steps_per_epoch / dt_epoch,
+                "time": time.time() - t_start,
+            }
+            if on_epoch is not None:
+                on_epoch(ts, last_metrics)
+            elif epoch % log_every == 0 or epoch == 1:
+                print(
+                    f"epoch {epoch:5d} | return {mean_ret:10.2f} | "
+                    f"fps {last_metrics['fps']:9.0f} | kl {last_metrics['kl']:.4f} "
+                    f"| lr {last_metrics['lr']:.2e}"
+                )
+            if mean_ret == mean_ret and mean_ret >= cfg.score_to_win:
+                print(f"score_to_win {cfg.score_to_win} reached at epoch {epoch}")
+                break
+        return ts, last_metrics

@@ -1,0 +1,25 @@
+"""Task registry: string -> VecTask subclass.
+
+Mirrors the reference's isaacgym_task_map
+(reference isaacgymenvs/tasks/__init__.py:88-114).
+"""
+from __future__ import annotations
+
+from typing import Dict, Type
+
+from ..envcore.vec_task import VecTask
+from .ant import Ant
+from .cartpole import Cartpole
+
+task_map: Dict[str, Type[VecTask]] = {
+    "Cartpole": Cartpole,
+    "Ant": Ant,
+}
+
+
+def register(name: str):
+    def deco(cls):
+        task_map[name] = cls
+        return cls
+
+    return deco

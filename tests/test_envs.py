@@ -1,0 +1,82 @@
+"""Env-contract tests (SURVEY.md section 4 item c): obs dims, reset
+semantics, reward finiteness, timeout flag semantics matching the
+reference vec_task.py:393-394."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isaacgymenvs_tpu.tasks import task_map
+
+
+def make(name, num_envs=8, **env_kw):
+    cfg = {
+        "env": {"numEnvs": num_envs, **env_kw},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    return task_map[name](cfg)
+
+
+@pytest.mark.parametrize("name,num_obs,num_acts", [("Cartpole", 4, 1), ("Ant", 60, 8)])
+def test_env_contract(name, num_obs, num_acts):
+    env = make(name)
+    assert env.num_obs == num_obs and env.num_acts == num_acts
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (8, num_obs)
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, obs, rew, done, extras = step(state, jnp.zeros((8, num_acts)))
+    assert obs.shape == (8, num_obs)
+    assert rew.shape == (8,) and done.shape == (8,)
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+    assert "time_outs" in extras
+
+
+def test_timeout_semantics():
+    env = make("Cartpole", num_envs=4, episodeLength=5)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    step = jax.jit(env.step)
+    # done fires when progress >= episodeLength - 1, i.e. at the 4th step
+    for i in range(1, 5):
+        state, obs, rew, done, extras = step(state, jnp.zeros((4, 1)))
+        if i < 4:
+            assert not bool(np.asarray(done).any())
+    assert bool(np.asarray(done).all())
+    assert bool(np.asarray(extras["time_outs"]).all())
+    # next step: envs auto-reset -> progress back to 0
+    state, obs, rew, done, extras = step(state, jnp.zeros((4, 1)))
+    assert np.asarray(state.progress).max() == 0
+    assert not bool(np.asarray(done).any())
+
+
+def test_partial_reset_only_touches_done_envs():
+    env = make("Cartpole", num_envs=4)
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    # force env 0 terminal by driving cart out of bounds
+    q = state.sim.q.at[0, 0].set(10.0)
+    state = state.replace(sim=state.sim.replace(q=q))
+    step = jax.jit(env.step)
+    state, obs, rew, done, extras = step(state, jnp.zeros((4, 1)))
+    assert bool(done[0]) and not bool(np.asarray(done[1:]).any())
+    assert float(rew[0]) == -2.0  # death reward (cartpole.py:189-190)
+    q_before = np.asarray(state.sim.q).copy()
+    state2, obs2, _, _, _ = step(state, jnp.zeros((4, 1)))
+    # env 0 was re-sampled into the init distribution; others integrated
+    assert abs(float(state2.sim.q[0, 0])) < 0.2
+    assert int(state2.progress[0]) == 0 and int(state2.progress[1]) == 2
+
+
+def test_ant_settles_and_stays_finite():
+    env = make("Ant", num_envs=8)
+    state, obs = env.reset(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(4)
+    for i in range(30):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (8, 8), minval=-1, maxval=1)
+        state, obs, rew, done, extras = step(state, a)
+    assert np.isfinite(np.asarray(state.sim.q)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+    z = np.asarray(state.sim.q)[:, 2]
+    assert (z > 0.1).all() and (z < 1.0).all()
