@@ -16,3 +16,34 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from . import maths  # noqa: F401
+
+
+def make(
+    seed: int = 0,
+    task: str = "Cartpole",
+    num_envs: int | None = None,
+    sim_device: str = "tpu",
+    rl_device: str = "tpu",
+    headless: bool = True,
+    cfg=None,
+    **override_kwargs,
+):
+    """Library API: construct a ready-to-step vectorized env.
+
+    Mirrors `isaacgymenvs.make()` (reference isaacgymenvs/__init__.py:14-55):
+    composes the task config (unless an explicit `cfg` dict is given),
+    applies overrides, returns the VecTask. The returned env exposes the
+    pure `reset(rng)` / `step(state, actions)` functions plus
+    num_envs/num_obs/num_acts.
+    """
+    from .tasks import task_map
+    from .utils.config import load_config
+
+    overrides = [f"task={task}", f"seed={seed}"]
+    if num_envs is not None:
+        overrides.append(f"num_envs={num_envs}")
+    overrides += [f"{k}={v}" for k, v in override_kwargs.items()]
+    full = load_config(overrides) if cfg is None else {"task": cfg}
+    if sim_device.startswith("cpu"):
+        _jax.config.update("jax_platforms", "cpu")
+    return task_map[task](full["task"])

@@ -69,6 +69,18 @@ class SolveOut(NamedTuple):
     qd: jax.Array  # (nv,) corrected velocity
     impulse: jax.Array  # (ncp, 3) contact impulses (x, y, z world)
     x: jax.Array  # (ncp, 3) contact points
+    qfrc: jax.Array  # (nv,) generalized contact impulse J^T lam
+
+
+def _project_cone(lam: jax.Array, mu: jax.Array, active: jax.Array) -> jax.Array:
+    """Project (ncp, 3) impulses onto the Coulomb friction cone (disk
+    linearization): lam_n >= 0, |lam_t| <= mu * lam_n; inactive -> 0."""
+    ln = jnp.maximum(lam[:, 2], 0.0)
+    lt = lam[:, :2]
+    lt_norm = jnp.sqrt(jnp.sum(lt * lt, axis=-1) + 1e-12)
+    scale = jnp.minimum(1.0, mu * ln / lt_norm)
+    out = jnp.concatenate([lt * scale[:, None], ln[:, None]], axis=-1)
+    return jnp.where(active[:, None], out, 0.0)
 
 
 def solve_contacts(
@@ -79,32 +91,86 @@ def solve_contacts(
     h,
     params: SimParams,
 ) -> SolveOut:
-    """Projected block Gauss-Seidel over contact impulses.
+    """Contact-impulse solve: velocity-level QP on the Delassus operator.
 
-    Solves for impulses lam (ncp, 3; z = normal) such that post-impulse
-    point velocities satisfy vn >= vn_target (Baumgarte push-out) and
-    |lam_t| <= mu * lam_n, then applies qd = qd_free + M^{-1} J^T lam.
+    min_lam 1/2 lam^T A lam + lam^T b  s.t. lam in friction cone, where
+    A = J M^{-1} J^T and b = J qd_free - v_target (Baumgarte push-out on
+    the normal rows, mirroring max_depenetration_velocity). Two solvers:
+
+      * 'apgd' (default): accelerated projected gradient (FISTA) -- each
+        iteration is ONE batched matvec on A + an elementwise cone
+        projection. Under vmap this is an (envs, 3ncp, 3ncp) x
+        (envs, 3ncp) matmul: ideal MXU work, and the trace is O(iters)
+        regardless of contact count. Same convex-relaxation family as
+        Chrono's APGD solver.
+      * 'pgs': projected block Gauss-Seidel (the PhysX-style sweep),
+        expressed as a fori_loop over contacts so the trace stays small.
+
+    Applies qd = qd_free + M^{-1} J^T lam.
     """
     ncp = con.J.shape[0]
     nv = con.J.shape[2]
     Jf = con.J.reshape(ncp * 3, nv)
     MinvJT = minv_mul(Jf.T)  # (nv, 3*ncp)
-    A = Jf @ MinvJT  # (3*ncp, 3*ncp) Delassus operator
-    A = A + 1e-6 * jnp.eye(ncp * 3)
-    A = A.reshape(ncp, 3, ncp, 3)
+    A = Jf @ MinvJT + 1e-6 * jnp.eye(ncp * 3)  # Delassus operator
     b = (Jf @ qd_free).reshape(ncp, 3)
 
-    active = con.phi > -getattr(params, "contact_margin", 0.0)
-    # Baumgarte: push out at beta*phi/h, capped (max_depenetration_velocity)
+    active = con.phi > -params.contact_margin
+    # Baumgarte: push out at erp*phi/h, capped (max_depenetration_velocity)
     vn_target = jnp.minimum(
         params.baumgarte_erp * jnp.maximum(con.phi, 0.0) / h,
         params.max_depenetration_velocity,
     )
+    b = b.at[:, 2].add(-vn_target)
 
-    diag = jnp.stack([A[c, :, c, :] for c in range(ncp)])  # (ncp, 3, 3)
-    inv_dnn = 1.0 / diag[:, 2, 2]
-    # 2x2 tangential block inverses
-    Dt = diag[:, :2, :2]
+    if params.solver == "apgd":
+        lam = _solve_apgd(A, b, con.mu, active, params)
+    else:
+        lam = _solve_pgs(A, b, con.mu, active, params)
+
+    lam_flat = lam.reshape(ncp * 3)
+    qd = qd_free + MinvJT @ lam_flat
+    return SolveOut(qd=qd, impulse=lam, x=con.x, qfrc=Jf.T @ lam_flat)
+
+
+def _solve_apgd(A, b, mu, active, params: SimParams) -> jax.Array:
+    ncp = b.shape[0]
+    n = ncp * 3
+    bf = b.reshape(n)
+    # Lipschitz upper bound: inf-norm row sum of A (cheap, safe)
+    L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), 1e-8)
+    step = 1.0 / L
+
+    # FISTA momentum coefficients, precomputed host-side (static length)
+    iters = params.solver_apgd_iterations
+    t = [1.0]
+    for _ in range(iters):
+        t.append(0.5 * (1.0 + float(np.sqrt(1.0 + 4.0 * t[-1] ** 2))))
+    betas = jnp.asarray(
+        [(t[k] - 1.0) / t[k + 1] for k in range(iters)], jnp.float32
+    )
+
+    def it(carry, beta):
+        lam, y = carry
+        g = A @ y + bf
+        lam_new = _project_cone(
+            (y - step * g).reshape(ncp, 3), mu, active
+        ).reshape(n)
+        y = lam_new + beta * (lam_new - lam)
+        return (lam_new, y), None
+
+    lam0 = jnp.zeros(n)
+    (lam, _), _ = jax.lax.scan(it, (lam0, lam0), betas)
+    return lam.reshape(ncp, 3)
+
+
+def _solve_pgs(A, b, mu, active, params: SimParams) -> jax.Array:
+    """Block Gauss-Seidel sweep as a fori_loop (small trace, sequential)."""
+    ncp = b.shape[0]
+    A4 = A.reshape(ncp, 3, ncp, 3)
+    diag_nn = jnp.stack([A4[c, 2, c, 2] for c in range(ncp)])
+    inv_dnn = 1.0 / diag_nn
+    Dt = jnp.stack([A4[c, :2, c, :2] for c in range(ncp)])  # (ncp, 2, 2)
     det = Dt[:, 0, 0] * Dt[:, 1, 1] - Dt[:, 0, 1] * Dt[:, 1, 0]
     det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
     Dt_inv = (
@@ -118,29 +184,24 @@ def solve_contacts(
         / det[:, None, None]
     )
 
-    lam = jnp.zeros((ncp, 3))
+    def contact_update(c, lam):
+        r = jnp.einsum("ikl,kl->i", A4[c], lam) + b[c]
+        ln = jnp.maximum(lam[c, 2] - r[2] * inv_dnn[c], 0.0)
+        dn = ln - lam[c, 2]
+        r_t = r[:2] + A4[c, :2, c, 2] * dn
+        lt = lam[c, :2] - Dt_inv[c] @ r_t
+        lt_norm = jnp.sqrt(jnp.sum(lt * lt) + 1e-12)
+        lt = lt * jnp.minimum(1.0, mu[c] * ln / lt_norm)
+        new_c = jnp.where(active[c], jnp.array([lt[0], lt[1], ln]), jnp.zeros(3))
+        return lam.at[c].set(new_c)
 
     def sweep(lam, _):
-        for c in range(ncp):
-            # residual velocity at contact c given current impulses
-            r = jnp.einsum("ikl,kl->i", A[c], lam) + b[c]  # (3,)
-            # normal update
-            ln = jnp.maximum(lam[c, 2] - (r[2] - vn_target[c]) * inv_dnn[c], 0.0)
-            dn = ln - lam[c, 2]
-            r_t = r[:2] + A[c, :2, c, 2] * dn
-            lt = lam[c, :2] - Dt_inv[c] @ r_t
-            # friction-disk projection
-            lt_norm = jnp.sqrt(jnp.sum(lt * lt) + 1e-12)
-            cap = con.mu[c] * ln
-            lt = lt * jnp.minimum(1.0, cap / lt_norm)
-            new_c = jnp.where(active[c], jnp.array([lt[0], lt[1], ln]), jnp.zeros(3))
-            lam = lam.at[c].set(new_c)
-        return lam, None
+        return jax.lax.fori_loop(0, ncp, contact_update, lam), None
 
-    lam, _ = jax.lax.scan(sweep, lam, None, length=params.solver_pgs_iterations)
-
-    qd = qd_free + MinvJT @ lam.reshape(ncp * 3)
-    return SolveOut(qd=qd, impulse=lam, x=con.x)
+    lam, _ = jax.lax.scan(
+        sweep, jnp.zeros((ncp, 3)), None, length=params.solver_pgs_iterations
+    )
+    return lam
 
 
 def body_contact_wrench(model: Model, out: SolveOut, kin: Kin, h):

@@ -42,8 +42,12 @@ class SimParams:
     substeps: int = struct.field(pytree_node=False, default=2)
     # extra internal integration slices per substep
     solver_iterations: int = struct.field(pytree_node=False, default=1)
+    # contact solver: 'apgd' (batched MXU-friendly, default) or 'pgs'
+    solver: str = struct.field(pytree_node=False, default="apgd")
     # PGS contact-impulse sweeps (maps to num_position_iterations-class knobs)
     solver_pgs_iterations: int = struct.field(pytree_node=False, default=8)
+    # APGD iterations (each = one batched matvec + cone projection)
+    solver_apgd_iterations: int = struct.field(pytree_node=False, default=32)
     gravity: jax.Array = struct.field(
         default_factory=lambda: jnp.array([0.0, 0.0, -9.81])
     )
@@ -114,99 +118,202 @@ def scalar_dof_q_adr(model: Model) -> np.ndarray:
     return out
 
 
+class KinMeta(NamedTuple):
+    """Host-precomputed static index sets for the level-batched FK sweep.
+
+    Bodies are grouped by tree depth; each level is processed as one batch
+    of branch-free ops (all four joint-type variants computed and selected
+    by mask), so the trace is O(depth), not O(nbody) -- the difference
+    between minutes and seconds of XLA compile time on 25+-body humanoids,
+    and wider VPU ops at runtime.
+    """
+
+    levels: tuple  # tuple of (idx, parent, qa7, va6, free, hinge, slide) np arrays
+    dof_body_arr: np.ndarray  # (nv,) body of each dof
+    dof_row_arr: np.ndarray  # (nv,) row of each dof inside its body's 6-row block
+    # position-integration index sets
+    sq_q: np.ndarray  # scalar dof q addresses
+    sq_v: np.ndarray  # scalar dof v addresses
+    free_bodies: tuple  # body indices with FREE joints
+
+
+def kin_meta(model: Model) -> KinMeta:
+    nb = model.nbody
+    depth = np.zeros(nb, np.int64)
+    for i in range(nb):
+        p = model.body_parent[i]
+        depth[i] = 0 if p == -1 else depth[p] + 1
+    levels = []
+    for d in range(int(depth.max()) + 1):
+        idx = np.where(depth == d)[0]
+        parent = np.array([max(model.body_parent[i], 0) for i in idx])
+        is_root = np.array([model.body_parent[i] == -1 for i in idx])
+        qa7 = np.stack(
+            [model.q_adr[i] + np.arange(7) for i in idx]
+        )  # into q padded by 7
+        va6 = np.stack([model.v_adr[i] + np.arange(6) for i in idx])
+        jt = np.array([model.jnt_type[i] for i in idx])
+        levels.append(
+            (
+                idx,
+                parent,
+                is_root,
+                qa7,
+                va6,
+                jt == FREE,
+                jt == HINGE,
+                jt == SLIDE,
+            )
+        )
+    dof_body_arr = np.asarray(model.dof_body)
+    dof_row_arr = np.array(
+        [d - model.v_adr[model.dof_body[d]] for d in range(model.nv)]
+    )
+    sq = scalar_dof_q_adr(model)
+    sv = np.where(sq >= 0)[0]
+    return KinMeta(
+        levels=tuple(levels),
+        dof_body_arr=dof_body_arr,
+        dof_row_arr=dof_row_arr,
+        sq_q=sq[sv],
+        sq_v=sv,
+        free_bodies=tuple(
+            i for i in range(nb) if model.jnt_type[i] == FREE
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # kinematics
 # ---------------------------------------------------------------------------
 
 
-def forward_kinematics(model: Model, q: jax.Array, qd: jax.Array) -> Kin:
-    """Single tree sweep computing frames, joint subspaces, velocities.
-
-    Pure; call under vmap for the env batch.
+def forward_kinematics(
+    model: Model, q: jax.Array, qd: jax.Array, meta: KinMeta | None = None
+) -> Kin:
+    """Level-batched tree sweep computing frames, joint subspaces,
+    velocities. Bodies at equal depth are processed as ONE batch of
+    branch-free ops (all joint-type variants computed, mask-selected), so
+    the trace is O(tree depth). Pure; call under vmap for the env batch.
     """
-    xs = [None] * model.nbody
-    qs = [None] * model.nbody
-    v = [None] * model.nbody
-    S_rows = [None] * model.nv
-    Sdot_rows = [None] * model.nv
+    if meta is None:
+        meta = kin_meta(model)
+    nb = model.nbody
+    qpad = jnp.concatenate([q, jnp.zeros(7)])
+    qdpad = jnp.concatenate([qd, jnp.zeros(6)])
 
-    zero3 = jnp.zeros(3)
-    ident = jnp.array([0.0, 0.0, 0.0, 1.0])
+    X = jnp.zeros((nb, 3))
+    Q = jnp.zeros((nb, 4)).at[:, 3].set(1.0)
+    V = jnp.zeros((nb, 6))
+    Sb = jnp.zeros((nb, 6, 6))  # per-body joint-subspace block (rows = dofs)
+    Sdotb = jnp.zeros((nb, 6, 6))
     e3 = jnp.eye(3)
 
-    for i in range(model.nbody):
-        p = model.body_parent[i]
-        if p == -1:
-            xp, qp, vp = zero3, ident, jnp.zeros(6)
-        else:
-            xp, qp, vp = xs[p], qs[p], v[p]
-        w_p, vo_p = vp[:3], vp[3:]
+    for idx, parent, is_root, qa7, va6, m_free, m_hinge, m_slide in meta.levels:
+        L = len(idx)
+        rootm = jnp.asarray(is_root)[:, None]
+        xp = jnp.where(rootm, 0.0, X[parent])
+        qp = jnp.where(rootm, jnp.array([0.0, 0.0, 0.0, 1.0]), Q[parent])
+        vp = jnp.where(rootm, 0.0, V[parent])
+        w_p, vo_p = vp[:, :3], vp[:, 3:]
+
+        body_pos = model.body_pos[idx]
+        body_quat = model.body_quat[idx]
+        jnt_axis = model.jnt_axis[idx]
+        jnt_pos = model.jnt_pos[idx]
 
         # frame after the fixed parent offset, before the joint
-        X_x = xp + maths.quat_rotate(qp, model.body_pos[i])
-        X_q = maths.quat_mul(qp, model.body_quat[i])
+        X_x = xp + maths.quat_rotate(qp, body_pos)
+        X_q = maths.quat_mul(qp, body_quat)
 
-        jt = model.jnt_type[i]
-        qa, va = model.q_adr[i], model.v_adr[i]
+        qseg = qpad[qa7]  # (L, 7)
+        vseg = qdpad[va6]  # (L, 6)
 
-        if jt == FREE:
-            xi = q[qa : qa + 3]
-            qi = maths.quat_unit(q[qa + 3 : qa + 7])
-            vel_lin = qd[va : va + 3]  # world velocity of body origin
-            omega = qd[va + 3 : va + 6]  # world angular velocity
-            # S columns: translations (0, e), rotations (e, p x e)
-            for k in range(3):
-                S_rows[va + k] = jnp.concatenate([zero3, e3[k]])
-                Sdot_rows[va + k] = jnp.zeros(6)
-            for k in range(3):
-                S_rows[va + 3 + k] = jnp.concatenate([e3[k], jnp.cross(xi, e3[k])])
-                Sdot_rows[va + 3 + k] = jnp.concatenate(
-                    [zero3, jnp.cross(vel_lin, e3[k])]
-                )
-            vi = jnp.concatenate(
-                [omega, vel_lin - jnp.cross(omega, xi)]
-            )  # v_o = pdot - w x p
-        elif jt == HINGE:
-            theta = q[qa]
-            axis_b = model.jnt_axis[i]
-            jq = maths.quat_from_angle_axis(theta, axis_b)
-            qi = maths.quat_mul(X_q, jq)
-            anchor = X_x + maths.quat_rotate(X_q, model.jnt_pos[i])
-            xi = anchor - maths.quat_rotate(qi, model.jnt_pos[i])
-            ax_w = maths.quat_rotate(X_q, axis_b)  # axis fixed in parent & child
-            S_i = jnp.concatenate([ax_w, jnp.cross(anchor, ax_w)])
-            # axis/anchor move with the parent body
-            ax_dot = jnp.cross(w_p, ax_w)
-            v_anchor = vo_p + jnp.cross(w_p, anchor)
-            Sdot_i = jnp.concatenate(
-                [ax_dot, jnp.cross(v_anchor, ax_w) + jnp.cross(anchor, ax_dot)]
-            )
-            S_rows[va] = S_i
-            Sdot_rows[va] = Sdot_i
-            vi = vp + S_i * qd[va]
-        elif jt == SLIDE:
-            ax_w = maths.quat_rotate(X_q, model.jnt_axis[i])
-            xi = X_x + ax_w * q[qa]
-            qi = X_q
-            S_i = jnp.concatenate([zero3, ax_w])
-            Sdot_rows[va] = jnp.concatenate([zero3, jnp.cross(w_p, ax_w)])
-            S_rows[va] = S_i
-            vi = vp + S_i * qd[va]
-        else:  # FIXED
-            xi, qi, vi = X_x, X_q, vp
+        # ---- FREE variant ------------------------------------------------
+        xi_f = qseg[:, 0:3]
+        qi_f = maths.quat_unit(qseg[:, 3:7])
+        vel_lin = vseg[:, 0:3]  # world velocity of body origin point
+        omega = vseg[:, 3:6]
+        vi_f = jnp.concatenate(
+            [omega, vel_lin - jnp.cross(omega, xi_f)], axis=-1
+        )  # v_o = pdot - w x p
+        # S rows 0-2: translations (0, e_k); rows 3-5: rotations (e_k, p x e_k)
+        zeros_L33 = jnp.zeros((L, 3, 3))
+        e3L = jnp.broadcast_to(e3, (L, 3, 3))
+        cross_x_e = jnp.cross(xi_f[:, None, :], e3L)  # (L, 3, 3)
+        S_free = jnp.concatenate(
+            [
+                jnp.concatenate([zeros_L33, e3L], axis=-1),  # rows 0-2
+                jnp.concatenate([e3L, cross_x_e], axis=-1),  # rows 3-5
+            ],
+            axis=1,
+        )  # (L, 6, 6)
+        cross_v_e = jnp.cross(vel_lin[:, None, :], e3L)
+        Sdot_free = jnp.concatenate(
+            [
+                jnp.zeros((L, 3, 6)),
+                jnp.concatenate([zeros_L33, cross_v_e], axis=-1),
+            ],
+            axis=1,
+        )
 
-        xs[i], qs[i], v[i] = xi, qi, vi
+        # ---- HINGE / SLIDE variants (share the world axis) ---------------
+        scalar_q = qseg[:, 0]
+        scalar_qd = vseg[:, 0]
+        ax_w = maths.quat_rotate(X_q, jnt_axis)
+        jq = maths.quat_from_angle_axis(scalar_q, jnt_axis)
+        qi_h = maths.quat_mul(X_q, jq)
+        anchor = X_x + maths.quat_rotate(X_q, jnt_pos)
+        xi_h = anchor - maths.quat_rotate(qi_h, jnt_pos)
+        S_h = jnp.concatenate([ax_w, jnp.cross(anchor, ax_w)], axis=-1)
+        ax_dot = jnp.cross(w_p, ax_w)
+        v_anchor = vo_p + jnp.cross(w_p, anchor)
+        Sdot_h = jnp.concatenate(
+            [ax_dot, jnp.cross(v_anchor, ax_w) + jnp.cross(anchor, ax_dot)],
+            axis=-1,
+        )
+        vi_h = vp + S_h * scalar_qd[:, None]
 
-    x = jnp.stack(xs)
-    quat = jnp.stack(qs)
-    vel = jnp.stack(v)
-    S = jnp.stack(S_rows) if model.nv else jnp.zeros((0, 6))
-    Sdot = jnp.stack(Sdot_rows) if model.nv else jnp.zeros((0, 6))
+        xi_s = X_x + ax_w * scalar_q[:, None]
+        S_s = jnp.concatenate([jnp.zeros((L, 3)), ax_w], axis=-1)
+        Sdot_s = jnp.concatenate(
+            [jnp.zeros((L, 3)), jnp.cross(w_p, ax_w)], axis=-1
+        )
+        vi_s = vp + S_s * scalar_qd[:, None]
 
-    R = maths.quat_to_matrix(quat)
-    com = x + jnp.einsum("bij,bj->bi", R, model.body_ipos)
+        # ---- mask-select ------------------------------------------------
+        mf = jnp.asarray(m_free)[:, None]
+        mh = jnp.asarray(m_hinge)[:, None]
+        ms = jnp.asarray(m_slide)[:, None]
+        xi = jnp.where(mf, xi_f, jnp.where(mh, xi_h, jnp.where(ms, xi_s, X_x)))
+        qi = jnp.where(mf, qi_f, jnp.where(mh, qi_h, X_q))
+        vi = jnp.where(mf, vi_f, jnp.where(mh, vi_h, jnp.where(ms, vi_s, vp)))
+
+        scalar_row = jnp.zeros((L, 6, 6))
+        S_scalar = scalar_row.at[:, 0, :].set(
+            jnp.where(mh, S_h, S_s)
+        )
+        Sdot_scalar = scalar_row.at[:, 0, :].set(
+            jnp.where(mh, Sdot_h, Sdot_s)
+        )
+        mf3 = mf[:, :, None]
+        Sb_i = jnp.where(mf3, S_free, S_scalar)
+        Sdotb_i = jnp.where(mf3, Sdot_free, Sdot_scalar)
+
+        X = X.at[idx].set(xi)
+        Q = Q.at[idx].set(qi)
+        V = V.at[idx].set(vi)
+        Sb = Sb.at[idx].set(Sb_i)
+        Sdotb = Sdotb.at[idx].set(Sdotb_i)
+
+    # assemble (nv, 6) joint subspace from the per-body blocks
+    S = Sb[meta.dof_body_arr, meta.dof_row_arr]
+    Sdot = Sdotb[meta.dof_body_arr, meta.dof_row_arr]
+
+    R = maths.quat_to_matrix(Q)
+    com = X + jnp.einsum("bij,bj->bi", R, model.body_ipos)
     inertia_w = jnp.einsum("bij,bjk,blk->bil", R, model.body_inertia, R)
-    return Kin(x=x, quat=quat, com=com, inertia_w=inertia_w, S=S, Sdot=Sdot, v=vel)
+    return Kin(x=X, quat=Q, com=com, inertia_w=inertia_w, S=S, Sdot=Sdot, v=V)
 
 
 # ---------------------------------------------------------------------------
@@ -323,20 +430,26 @@ def forward_dynamics(
 # ---------------------------------------------------------------------------
 
 
-def integrate_positions(model: Model, q: jax.Array, qd_new: jax.Array, dt) -> jax.Array:
+def integrate_positions(
+    model: Model,
+    q: jax.Array,
+    qd_new: jax.Array,
+    dt,
+    meta: KinMeta | None = None,
+) -> jax.Array:
     """Position update of semi-implicit Euler (velocities already updated by
     the dynamics + contact-impulse solve); quaternion exponential for the
-    free-joint rotation."""
+    free-joint rotation. All scalar dofs update in one gather/scatter."""
+    if meta is None:
+        meta = kin_meta(model)
     q_new = q
-    for i in range(model.nbody):
-        jt = model.jnt_type[i]
+    if len(meta.sq_q):
+        q_new = q_new.at[meta.sq_q].add(dt * qd_new[meta.sq_v])
+    for i in meta.free_bodies:
         qa, va = model.q_adr[i], model.v_adr[i]
-        if jt == FREE:
-            pos = q[qa : qa + 3] + dt * qd_new[va : va + 3]
-            quat = maths.quat_integrate(
-                maths.quat_unit(q[qa + 3 : qa + 7]), qd_new[va + 3 : va + 6], dt
-            )
-            q_new = q_new.at[qa : qa + 3].set(pos).at[qa + 3 : qa + 7].set(quat)
-        elif jt in (HINGE, SLIDE):
-            q_new = q_new.at[qa].set(q[qa] + dt * qd_new[va])
+        pos = q[qa : qa + 3] + dt * qd_new[va : va + 3]
+        quat = maths.quat_integrate(
+            maths.quat_unit(q[qa + 3 : qa + 7]), qd_new[va + 3 : va + 6], dt
+        )
+        q_new = q_new.at[qa : qa + 3].set(pos).at[qa + 3 : qa + 7].set(quat)
     return q_new

@@ -24,13 +24,15 @@ class StepOut(NamedTuple):
     kin: Kin  # kinematics at the END of the step (for obs)
     body_force: jax.Array  # (nbody, 3) last-substep contact force per body
     body_torque: jax.Array  # (nbody, 3)
+    dof_force: jax.Array  # (nv,) last-substep generalized contact force
+    # (the dof-force-sensor quantity, reference enable_actor_dof_force_sensors)
 
 
 def _masks(model: Model):
     anc = jnp.asarray(_dyn.ancestor_matrix(model))
     dof_mask = jnp.asarray(_dyn.dof_ancestor_mask(model))
     sq_adr = jnp.asarray(_dyn.scalar_dof_q_adr(model))
-    return (anc, dof_mask), sq_adr
+    return (anc, dof_mask), sq_adr, _dyn.kin_meta(model)
 
 
 def physics_step(
@@ -47,14 +49,14 @@ def physics_step(
     reference ant.py:281-285). xfrc: optional (nbody, 6) external spatial
     forces (origin-referenced world coords), e.g. random pushes.
     """
-    masks, sq_adr = _masks(model)
+    masks, sq_adr, meta = _masks(model)
     anc = masks[0]
     n_slices = params.substeps * params.solver_iterations
     h = params.dt / n_slices
 
     def substep(carry, _):
         q, qd = carry
-        kin = _dyn.forward_kinematics(model, q, qd)
+        kin = _dyn.forward_kinematics(model, q, qd, meta)
         f_ext = jnp.zeros((model.nbody, 6)) if xfrc is None else xfrc
         qdd, minv_mul, _ = _dyn.forward_dynamics(
             model, q, qd, qfrc, f_ext, params, masks, sq_adr, kin=kin, h=h
@@ -63,16 +65,17 @@ def physics_step(
         con = _contacts.contact_data(model, kin, anc, plane_friction)
         sol = _contacts.solve_contacts(model, con, minv_mul, qd_free, h, params)
         bf, bt = _contacts.body_contact_wrench(model, sol, kin, h)
-        q2 = _dyn.integrate_positions(model, q, sol.qd, h)
-        return (q2, sol.qd), (bf, bt)
+        q2 = _dyn.integrate_positions(model, q, sol.qd, h, meta)
+        return (q2, sol.qd), (bf, bt, sol.qfrc / h)
 
-    (q, qd), (bf, bt) = jax.lax.scan(
+    (q, qd), (bf, bt, qf) = jax.lax.scan(
         substep, (state.q, state.qd), None, length=n_slices
     )
-    kin = _dyn.forward_kinematics(model, q, qd)
+    kin = _dyn.forward_kinematics(model, q, qd, meta)
     return StepOut(
         state=SimState(q=q, qd=qd),
         kin=kin,
         body_force=bf[-1],
         body_torque=bt[-1],
+        dof_force=qf[-1],
     )

@@ -23,7 +23,7 @@ tasks/cartpole.py post_physics_step):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,16 @@ from flax import struct
 from ..engine import SimParams, SimState, physics_step
 from ..engine import dynamics as _dyn
 from ..model.spec import Model
+
+
+class Sensors(NamedTuple):
+    """Per-env sensor readings produced by the physics step: the TPU
+    equivalents of net_contact_force / force_sensor / dof_force tensors
+    (SURVEY.md section 2.1 state-tensor API)."""
+
+    body_force: jax.Array  # (nbody, 3) contact force per body (world)
+    body_torque: jax.Array  # (nbody, 3) contact torque about body origin
+    dof_force: jax.Array  # (nv,) generalized contact force
 
 
 @struct.dataclass
@@ -60,7 +70,7 @@ class VecTask:
       initial_task_state(rng) -> task pytree              [per env]
       sample_init(rng) -> (q, qd, task)                   [per env]
       compute_force(action, q, qd, task) -> (qfrc, xfrc)  [pre-physics]
-      observe(q, qd, kin, bf, bt, task, actions, progress) -> obs
+      observe(q, qd, kin, sensors, task, actions, progress) -> obs
       reward_done(obs, q, qd, kin, task, actions, progress)
           -> (reward, done, new_task)
     """
@@ -92,13 +102,13 @@ class VecTask:
     def compute_force(self, action, q, qd, task):
         raise NotImplementedError
 
-    def observe(self, q, qd, kin, bf, bt, task, actions, progress):
+    def observe(self, q, qd, kin, sensors, task, actions, progress):
         raise NotImplementedError
 
     def reward_done(self, obs, q, qd, kin, task, actions, progress):
         raise NotImplementedError
 
-    def observe_state(self, q, qd, kin, bf, bt, task, actions, progress):
+    def observe_state(self, q, qd, kin, sensors, task, actions, progress):
         """Privileged state for asymmetric actor-critic (num_states > 0)."""
         raise NotImplementedError
 
@@ -112,6 +122,7 @@ class VecTask:
             dt=float(sim.get("dt", 1.0 / 60.0)),
             substeps=int(sim.get("substeps", 2)),
             solver_pgs_iterations=int(physx.get("num_position_iterations", 4)) * 2,
+            solver_apgd_iterations=int(physx.get("num_position_iterations", 4)) * 8,
             gravity=jnp.asarray(sim.get("gravity", [0.0, 0.0, -9.81]), jnp.float32),
             max_depenetration_velocity=float(
                 physx.get("max_depenetration_velocity", 10.0)
@@ -170,7 +181,11 @@ class VecTask:
             self.sim_params,
             xfrc=xfrc,
         )
-        return out.state.q, out.state.qd, out.body_force, out.body_torque
+        return (
+            out.state.q,
+            out.state.qd,
+            Sensors(out.body_force, out.body_torque, out.dof_force),
+        )
 
     def reset(self, rng: jax.Array) -> Tuple[EnvState, jax.Array]:
         """Full reset of all envs (reference vec_task.py:426 reset())."""
@@ -178,12 +193,16 @@ class VecTask:
         keys = jax.random.split(sub, self.num_envs)
         q, qd, task = jax.vmap(self.sample_init)(keys)
         n = self.num_envs
-        zero_b = jnp.zeros((n, self.model.nbody, 3))
+        sensors = Sensors(
+            body_force=jnp.zeros((n, self.model.nbody, 3)),
+            body_torque=jnp.zeros((n, self.model.nbody, 3)),
+            dof_force=jnp.zeros((n, self.model.nv)),
+        )
         kin = jax.vmap(lambda qq, qv: _dyn.forward_kinematics(self.model, qq, qv))(q, qd)
         actions = jnp.zeros((n, self.num_acts))
         progress = jnp.zeros(n, jnp.int32)
         obs = jax.vmap(self.observe)(
-            q, qd, kin, zero_b, zero_b, task, actions, progress
+            q, qd, kin, sensors, task, actions, progress
         )
         state = EnvState(
             sim=SimState(q=q, qd=qd),
@@ -209,13 +228,13 @@ class VecTask:
 
         def control_loop(carry, _):
             q, qd = carry
-            q, qd, bf, bt = jax.vmap(self._one_env_physics)(q, qd, qfrc, xfrc)
-            return (q, qd), (bf, bt)
+            q, qd, sensors = jax.vmap(self._one_env_physics)(q, qd, qfrc, xfrc)
+            return (q, qd), sensors
 
-        (q, qd), (bfs, bts) = jax.lax.scan(
+        (q, qd), sensor_hist = jax.lax.scan(
             control_loop, (q0, qd0), None, length=self.control_freq_inv
         )
-        bf, bt = bfs[-1], bts[-1]
+        sensors = jax.tree.map(lambda x: x[-1], sensor_hist)
 
         # 2. bookkeeping
         progress = state.progress + 1
@@ -234,13 +253,12 @@ class VecTask:
         q = sel(init_q, q)
         qd = sel(init_qd, qd)
         task = jax.tree.map(sel, init_task, state.task)
-        bf = sel(jnp.zeros_like(bf), bf)
-        bt = sel(jnp.zeros_like(bt), bt)
+        sensors = jax.tree.map(lambda x: sel(jnp.zeros_like(x), x), sensors)
         progress = jnp.where(done_prev, 0, progress)
 
         # 4. observe on the post-reset state
         kin = jax.vmap(lambda qq, qv: _dyn.forward_kinematics(self.model, qq, qv))(q, qd)
-        obs = jax.vmap(self.observe)(q, qd, kin, bf, bt, task, actions, progress)
+        obs = jax.vmap(self.observe)(q, qd, kin, sensors, task, actions, progress)
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
         # 5. reward + new done flags
@@ -254,7 +272,7 @@ class VecTask:
         extras = {"time_outs": timeout}
         if self.num_states:
             states = jax.vmap(self.observe_state)(
-                q, qd, kin, bf, bt, task, actions, progress
+                q, qd, kin, sensors, task, actions, progress
             )
             extras["states"] = jnp.clip(states, -self.clip_obs, self.clip_obs)
 

@@ -21,6 +21,7 @@ replicated; XLA inserts the gradient all-reduce (SURVEY.md section 2.5).
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, NamedTuple, Tuple
 
@@ -436,22 +437,101 @@ class PPO:
         return ts, metrics
 
     # ------------------------------------------------------------------
+    def save(self, path: str, ts: PPOTrainState, epoch: int = 0, frames: int = 0):
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            {
+                "params": ts.params,
+                "obs_rms": ts.obs_rms,
+                "value_rms": ts.value_rms,
+                "lr": ts.lr,
+                "opt_state": ts.opt_state,
+                "epoch": epoch,
+                "frames": frames,
+            },
+        )
+
+    def restore(self, path: str, ts: PPOTrainState) -> Tuple[PPOTrainState, int]:
+        from ..utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(path)
+        ts = ts.replace(
+            params=jax.device_put(ck["params"]),
+            obs_rms=jax.device_put(ck["obs_rms"]),
+            value_rms=jax.device_put(ck["value_rms"]),
+            lr=jax.device_put(ck["lr"]),
+            opt_state=jax.device_put(ck["opt_state"]),
+        )
+        return ts, int(ck.get("epoch", 0))
+
+    def act(self, ts: PPOTrainState, obs, deterministic: bool = True, key=None):
+        """Policy action for eval/play (CommonPlayer.get_action semantics)."""
+        nobs = self._norm_obs(ts.obs_rms, obs)
+        mu, log_sigma, _ = self.network.apply(ts.params, nobs)
+        if deterministic:
+            return mu
+        return mu + jnp.exp(log_sigma) * jax.random.normal(key, mu.shape)
+
+    def play(
+        self, checkpoint: str | None = None, num_episodes: int = 32
+    ) -> float:
+        """Inference loop (reference learning/common_player.py:54 run()):
+        deterministic policy, report mean finished-episode return."""
+        ts = self.init()
+        if checkpoint:
+            ts, _ = self.restore(checkpoint, ts)
+        act = jax.jit(lambda ts, obs: self.act(ts, obs))
+        step = jax.jit(self.env.step)
+        env_state, obs = self.env.reset(jax.random.PRNGKey(self.seed + 1))
+        n = self.env.num_envs
+        ep_ret = jnp.zeros(n)
+        finished, total = 0, 0.0
+        while finished < num_episodes:
+            a = act(ts, obs)
+            env_state, obs, rew, done, _ = step(env_state, a)
+            ep_ret = ep_ret + rew
+            d = np.asarray(done)
+            if d.any():
+                r = np.asarray(ep_ret)
+                total += float(r[d].sum())
+                finished += int(d.sum())
+                ep_ret = jnp.where(done, 0.0, ep_ret)
+        mean_ret = total / max(finished, 1)
+        print(f"played {finished} episodes | mean return {mean_ret:.2f}")
+        return mean_ret
+
+    # ------------------------------------------------------------------
     def train(
         self,
         max_epochs: int | None = None,
         log_every: int = 10,
         on_epoch=None,
+        checkpoint: str | None = None,
+        train_dir: str | None = None,
+        name: str = "run",
+        save_best_after: int = 100,
     ) -> Tuple[PPOTrainState, Dict[str, float]]:
         """Host training loop. Returns final state + last metrics."""
         cfg = self.cfg
         ts = self.init()
+        start_epoch = 0
+        if checkpoint:
+            ts, start_epoch = self.restore(checkpoint, ts)
+        nn_dir = None
+        if train_dir:
+            nn_dir = os.path.join(train_dir, name, "nn")
+            os.makedirs(nn_dir, exist_ok=True)
+        best_ret = -float("inf")
+        epoch = start_epoch
         max_epochs = max_epochs or cfg.max_epochs
         n = self.env.num_envs
         steps_per_epoch = cfg.horizon_length * n
         game_returns: list = []  # last-100 finished episodes mean, rl_games-style
         last_metrics: Dict[str, float] = {}
         t_start = time.time()
-        for epoch in range(1, max_epochs + 1):
+        for epoch in range(start_epoch + 1, max_epochs + 1):
             t0 = time.time()
             ts, metrics = self._train_epoch(ts)
             metrics = jax.device_get(metrics)
@@ -477,7 +557,26 @@ class PPO:
                     f"fps {last_metrics['fps']:9.0f} | kl {last_metrics['kl']:.4f} "
                     f"| lr {last_metrics['lr']:.2e}"
                 )
+            if nn_dir is not None:
+                frames = epoch * steps_per_epoch
+                if cfg.save_frequency and epoch % cfg.save_frequency == 0:
+                    self.save(
+                        os.path.join(nn_dir, f"last_{name}_ep_{epoch}.ckpt"),
+                        ts, epoch, frames,
+                    )
+                if (
+                    epoch >= save_best_after
+                    and game_returns
+                    and mean_ret > best_ret
+                ):
+                    best_ret = mean_ret
+                    self.save(os.path.join(nn_dir, f"{name}.ckpt"), ts, epoch, frames)
             if mean_ret == mean_ret and mean_ret >= cfg.score_to_win:
                 print(f"score_to_win {cfg.score_to_win} reached at epoch {epoch}")
                 break
+        if nn_dir is not None:
+            self.save(
+                os.path.join(nn_dir, f"last_{name}.ckpt"),
+                ts, epoch, epoch * steps_per_epoch,
+            )
         return ts, last_metrics

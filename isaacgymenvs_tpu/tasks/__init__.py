@@ -10,10 +10,12 @@ from typing import Dict, Type
 from ..envcore.vec_task import VecTask
 from .ant import Ant
 from .cartpole import Cartpole
+from .humanoid import Humanoid
 
 task_map: Dict[str, Type[VecTask]] = {
     "Cartpole": Cartpole,
     "Ant": Ant,
+    "Humanoid": Humanoid,
 }
 
 

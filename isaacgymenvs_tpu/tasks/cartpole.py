@@ -46,7 +46,7 @@ class Cartpole(VecTask):
         qfrc = jnp.zeros(self.model.nv).at[0].set(action[0] * self.max_push_effort)
         return qfrc, jnp.zeros((self.model.nbody, 6))
 
-    def observe(self, q, qd, kin, bf, bt, task, actions, progress):
+    def observe(self, q, qd, kin, sensors, task, actions, progress):
         # [cart_pos, cart_vel, pole_angle, pole_vel] (cartpole.py:146-149)
         return jnp.stack([q[0], qd[0], q[1], qd[1]])
 

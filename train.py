@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Train / play entry point.
+
+CLI parity with the reference's Hydra launcher (reference train.py:71-219;
+flag set documented in reference README.md:116-132):
+
+    python train.py task=Ant num_envs=4096 seed=7
+    python train.py task=Cartpole test=True checkpoint=runs/Cartpole/nn/Cartpole.ckpt
+    python train.py task=Ant max_iterations=500 experiment=MyAnt pipeline=cpu
+
+Any config leaf can be overridden with dotted paths, e.g.
+`train.params.config.minibatch_size=16384` or `task.env.episodeLength=600`.
+"""
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+# make the package importable when run from a checkout
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(argv)
+
+    import jax
+
+    if str(cfg.get("pipeline", "gpu")) == "cpu" or str(cfg.get("sim_device", "")).startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    seed = int(cfg.get("seed", 42) or 42)
+    if seed == -1:  # seed=-1 -> random seed (reference utils/utils.py:87-95)
+        seed = random.randint(0, 2**31 - 1)
+        print(f"seed=-1 -> sampled seed {seed}")
+
+    from isaacgymenvs_tpu.tasks import task_map
+    from isaacgymenvs_tpu.learn import PPO
+
+    task_name = cfg["task_name"]
+    if task_name not in task_map:
+        raise SystemExit(
+            f"unknown task {task_name!r}; available: {sorted(task_map)}"
+        )
+    env = task_map[task_name](cfg["task"])
+    print(
+        f"task={task_name} num_envs={env.num_envs} num_obs={env.num_obs} "
+        f"num_acts={env.num_acts} backend={jax.default_backend()} "
+        f"devices={len(jax.devices())}"
+    )
+
+    train_params = cfg.get("train", {}).get("params", {})
+    agent = PPO(env, train_params, seed=seed)
+
+    run_name = train_params.get("config", {}).get("name") or task_name
+    checkpoint = str(cfg.get("checkpoint") or "") or None
+
+    if cfg.get("test"):
+        agent.play(checkpoint=checkpoint)
+        return
+
+    # config snapshot (reference train.py:202-208)
+    import yaml
+
+    run_dir = os.path.join("runs", run_name)
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f, default_flow_style=False, sort_keys=False)
+
+    max_iters = cfg.get("max_iterations")
+    save_best_after = int(
+        train_params.get("config", {}).get("save_best_after", 100)
+    )
+    agent.train(
+        max_epochs=int(max_iters) if max_iters else None,
+        checkpoint=checkpoint,
+        train_dir="runs",
+        name=run_name,
+        save_best_after=save_best_after,
+    )
+
+
+if __name__ == "__main__":
+    main()
