@@ -371,16 +371,28 @@ def bias_force(
     return jnp.sum(kin.S * F_sub[dof_body], axis=-1)
 
 
-def passive_force(model: Model, q: jax.Array, qd: jax.Array, params: SimParams, sq_adr):
+def passive_force(
+    model: Model,
+    q: jax.Array,
+    qd: jax.Array,
+    params: SimParams,
+    sq_adr,
+    q_spring: jax.Array | None = None,
+):
     """Joint springs / limit penalties as (tau, D) where D is the diagonal
     velocity coefficient handled IMPLICITLY (added as h*D to M), making
     joint + limit damping unconditionally stable.
 
     Mirrors PhysX DOF properties (stiffness/damping/limits) the reference
     configures via set_actor_dof_properties (e.g. cartpole.py:112-116).
+    `q_spring` overrides the spring setpoint per q entry: with per-dof
+    stiffness/damping set this IS the PhysX position drive
+    (DOF_MODE_POS, set_dof_position_target_tensor semantics) evaluated
+    every substep with implicit damping.
     """
+    setpoint = model.qpos0 if q_spring is None else q_spring
     q_scalar = jnp.where(sq_adr >= 0, q[jnp.maximum(sq_adr, 0)], 0.0)
-    q0_scalar = jnp.where(sq_adr >= 0, model.qpos0[jnp.maximum(sq_adr, 0)], 0.0)
+    q0_scalar = jnp.where(sq_adr >= 0, setpoint[jnp.maximum(sq_adr, 0)], 0.0)
     tau = -model.dof_stiffness * (q_scalar - q0_scalar)
     over = jnp.maximum(q_scalar - model.dof_limit_upper, 0.0)
     under = jnp.maximum(model.dof_limit_lower - q_scalar, 0.0)
@@ -403,6 +415,7 @@ def forward_dynamics(
     sq_adr,
     kin: Kin | None = None,
     h: float = 0.0,
+    q_spring: jax.Array | None = None,
 ):
     """qdd = (M + h D)^{-1} (tau + tau_passive - D qd - C).
 
@@ -413,7 +426,7 @@ def forward_dynamics(
         kin = forward_kinematics(model, q, qd)
     M = mass_matrix(model, kin, masks)
     C = bias_force(model, kin, qd, params.gravity, f_ext, masks)
-    tau_p, D = passive_force(model, q, qd, params, sq_adr)
+    tau_p, D = passive_force(model, q, qd, params, sq_adr, q_spring)
     Mh = M + h * jnp.diag(D)
     # dense symmetric-PD solve; nv is small (8-40)
     L, lower = jax.scipy.linalg.cho_factor(Mh, lower=True)

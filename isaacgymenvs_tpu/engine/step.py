@@ -42,12 +42,15 @@ def physics_step(
     params: SimParams,
     xfrc: jax.Array | None = None,
     plane_friction: jax.Array | float = 1.0,
+    q_target: jax.Array | None = None,
 ) -> StepOut:
     """Advance one env-step dt = params.dt (substeps * solver_iterations
     internal slices). qfrc: (nv,) applied generalized forces, held constant
     across substeps (matching set_dof_actuation_force_tensor semantics,
     reference ant.py:281-285). xfrc: optional (nbody, 6) external spatial
     forces (origin-referenced world coords), e.g. random pushes.
+    q_target: optional (nq,) spring/PD-drive setpoints re-evaluated every
+    substep (set_dof_position_target_tensor semantics).
     """
     masks, sq_adr, meta = _masks(model)
     anc = masks[0]
@@ -59,7 +62,8 @@ def physics_step(
         kin = _dyn.forward_kinematics(model, q, qd, meta)
         f_ext = jnp.zeros((model.nbody, 6)) if xfrc is None else xfrc
         qdd, minv_mul, _ = _dyn.forward_dynamics(
-            model, q, qd, qfrc, f_ext, params, masks, sq_adr, kin=kin, h=h
+            model, q, qd, qfrc, f_ext, params, masks, sq_adr, kin=kin, h=h,
+            q_spring=q_target,
         )
         qd_free = qd + h * qdd
         con = _contacts.contact_data(model, kin, anc, plane_friction)

@@ -71,7 +71,7 @@ class VecTask:
       sample_init(rng) -> (q, qd, task)                   [per env]
       compute_force(action, q, qd, task) -> (qfrc, xfrc)  [pre-physics]
       observe(q, qd, kin, sensors, task, actions, progress) -> obs
-      reward_done(obs, q, qd, kin, task, actions, progress)
+      reward_done(obs, q, qd, kin, sensors, task, actions, progress)
           -> (reward, done, new_task)
     """
 
@@ -79,6 +79,10 @@ class VecTask:
     num_obs: int = 0
     num_acts: int = 0
     num_states: int = 0  # asymmetric-critic privileged state (0 = none)
+    # if True, compute_force returns (qfrc, xfrc, q_target) where q_target
+    # is an (nq,) PD-drive setpoint vector re-evaluated every substep
+    # (DOF_MODE_POS / set_dof_position_target_tensor semantics)
+    use_pd_targets: bool = False
 
     def __init__(self, cfg: Dict[str, Any]):
         self.cfg = cfg
@@ -105,7 +109,7 @@ class VecTask:
     def observe(self, q, qd, kin, sensors, task, actions, progress):
         raise NotImplementedError
 
-    def reward_done(self, obs, q, qd, kin, task, actions, progress):
+    def reward_done(self, obs, q, qd, kin, sensors, task, actions, progress):
         raise NotImplementedError
 
     def observe_state(self, q, qd, kin, sensors, task, actions, progress):
@@ -173,13 +177,14 @@ class VecTask:
         return np.where(sq >= 0)[0]
 
     # ---- the vectorized pure functions --------------------------------
-    def _one_env_physics(self, q, qd, qfrc, xfrc):
+    def _one_env_physics(self, q, qd, qfrc, xfrc, q_target=None):
         out = physics_step(
             self.model,
             SimState(q=q, qd=qd),
             qfrc,
             self.sim_params,
             xfrc=xfrc,
+            q_target=q_target,
         )
         return (
             out.state.q,
@@ -224,11 +229,19 @@ class VecTask:
 
         # 1. apply actions + physics
         q0, qd0 = state.sim.q, state.sim.qd
-        qfrc, xfrc = jax.vmap(self.compute_force)(actions, q0, qd0, state.task)
+        if self.use_pd_targets:
+            qfrc, xfrc, q_target = jax.vmap(self.compute_force)(
+                actions, q0, qd0, state.task
+            )
+        else:
+            qfrc, xfrc = jax.vmap(self.compute_force)(actions, q0, qd0, state.task)
+            q_target = None
 
         def control_loop(carry, _):
             q, qd = carry
-            q, qd, sensors = jax.vmap(self._one_env_physics)(q, qd, qfrc, xfrc)
+            q, qd, sensors = jax.vmap(self._one_env_physics)(
+                q, qd, qfrc, xfrc, q_target
+            )
             return (q, qd), sensors
 
         (q, qd), sensor_hist = jax.lax.scan(
@@ -263,7 +276,7 @@ class VecTask:
 
         # 5. reward + new done flags
         reward, done, task = jax.vmap(self.reward_done)(
-            obs, q, qd, kin, task, actions, progress
+            obs, q, qd, kin, sensors, task, actions, progress
         )
 
         # 6. timeout flag (vec_task.py:393-394)

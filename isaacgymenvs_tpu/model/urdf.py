@@ -108,12 +108,50 @@ def _geom_inertia_unit_density(gtype, size):
     raise ValueError(gtype)
 
 
-def load_urdf(path: str, fix_base: bool = False, default_friction: float = 1.0) -> Model:
+def _np_quat_mul(a, b):
+    x1, y1, z1, w1 = a
+    x2, y2, z2, w2 = b
+    return np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
+
+
+def _np_quat_rot(q, v):
+    xyz, w = q[:3], q[3]
+    t = 2.0 * np.cross(xyz, v)
+    return v + w * t + np.cross(xyz, t)
+
+
+def _np_quat_mat(q):
+    from .mjcf import _quat_to_mat_xyzw
+
+    return _quat_to_mat_xyzw(q)
+
+
+def load_urdf(
+    path: str,
+    fix_base: bool = False,
+    default_friction: float = 1.0,
+    collapse_fixed: bool = False,
+) -> Model:
     root = ET.parse(path).getroot()
-    return parse_urdf(root, fix_base=fix_base, default_friction=default_friction)
+    return parse_urdf(
+        root,
+        fix_base=fix_base,
+        default_friction=default_friction,
+        collapse_fixed=collapse_fixed,
+    )
 
 
-def parse_urdf(root: ET.Element, fix_base: bool = False, default_friction: float = 1.0) -> Model:
+def parse_urdf(
+    root: ET.Element,
+    fix_base: bool = False,
+    default_friction: float = 1.0,
+    collapse_fixed: bool = False,
+) -> Model:
     links = {l.get("name"): l for l in root.findall("link")}
     joints = list(root.findall("joint"))
 
@@ -173,9 +211,51 @@ def parse_urdf(root: ET.Element, fix_base: bool = False, default_friction: float
                 inertia = total
         return mass, com, inertia, geoms
 
-    def add_link(link_name, parent_idx, jnt_elem):
+    def add_link(link_name, parent_idx, jnt_elem, t_pos=None, t_quat=None):
+        # (t_pos, t_quat): accumulated transform from collapsed fixed-joint
+        # ancestors, expressed in the frame of body `parent_idx`
+        # (collapse_fixed_joints semantics, reference anymal.py:172)
+        t_pos = np.zeros(3) if t_pos is None else t_pos
+        t_quat = np.array([0.0, 0, 0, 1]) if t_quat is None else t_quat
         link_elem = links[link_name]
         mass, com, inertia, geoms = link_props(link_elem)
+
+        if (
+            collapse_fixed
+            and jnt_elem is not None
+            and _JOINT_MAP[jnt_elem.get("type")] == FIXED
+            and parent_idx >= 0
+        ):
+            jpos, jquat = _origin(jnt_elem.find("origin"))
+            new_pos = t_pos + _np_quat_rot(t_quat, jpos)
+            new_quat = _np_quat_mul(t_quat, jquat)
+            R = _np_quat_mat(new_quat)
+            if mass > 0:
+                b.merge_body(
+                    parent_idx,
+                    mass,
+                    new_pos + _np_quat_rot(new_quat, com),
+                    R @ inertia @ R.T,
+                )
+            for gtype, gpos, gquat, gsize in geoms:
+                b.add_geom(
+                    parent_idx,
+                    gtype,
+                    new_pos + _np_quat_rot(new_quat, gpos),
+                    _np_quat_mul(new_quat, gquat),
+                    gsize,
+                    default_friction,
+                )
+            for child_joint in children_of.get(link_name, []):
+                add_link(
+                    child_joint.find("child").get("link"),
+                    parent_idx,
+                    child_joint,
+                    new_pos,
+                    new_quat,
+                )
+            return
+
         if jnt_elem is None:
             # root link
             jtype = FIXED if fix_base else FREE
@@ -186,6 +266,8 @@ def parse_urdf(root: ET.Element, fix_base: bool = False, default_friction: float
         else:
             jtype = _JOINT_MAP[jnt_elem.get("type")]
             pos, quat = _origin(jnt_elem.find("origin"))
+            pos = t_pos + _np_quat_rot(t_quat, pos)
+            quat = _np_quat_mul(t_quat, quat)
             ax = jnt_elem.find("axis")
             axis = _fv(ax.get("xyz"), 3) if ax is not None else np.array([1.0, 0, 0])
             n = np.linalg.norm(axis)

@@ -131,7 +131,7 @@ class Ant(VecTask):
         )
 
     # ---- reward ---------------------------------------------------------
-    def reward_done(self, obs, q, qd, kin, task, actions, progress):
+    def reward_done(self, obs, q, qd, kin, sensors, task, actions, progress):
         _, prev_from_last = task
         torso_pos = q[0:3]
         to_target = (self.targets - torso_pos).at[2].set(0.0)

@@ -50,7 +50,7 @@ class Cartpole(VecTask):
         # [cart_pos, cart_vel, pole_angle, pole_vel] (cartpole.py:146-149)
         return jnp.stack([q[0], qd[0], q[1], qd[1]])
 
-    def reward_done(self, obs, q, qd, kin, task, actions, progress):
+    def reward_done(self, obs, q, qd, kin, sensors, task, actions, progress):
         cart_pos, cart_vel, pole_angle, pole_vel = obs[0], obs[1], obs[2], obs[3]
         reward = (
             1.0

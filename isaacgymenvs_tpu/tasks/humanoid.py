@@ -135,7 +135,7 @@ class Humanoid(VecTask):
             ]
         )
 
-    def reward_done(self, obs, q, qd, kin, task, actions, progress):
+    def reward_done(self, obs, q, qd, kin, sensors, task, actions, progress):
         _, prev_potentials = task
         torso_pos = q[0:3]
         to_target = (self.targets - torso_pos).at[2].set(0.0)

@@ -10,14 +10,17 @@ from isaacgymenvs_tpu.tasks import task_map
 
 
 def make(name, num_envs=8, **env_kw):
-    cfg = {
-        "env": {"numEnvs": num_envs, **env_kw},
-        "sim": {"dt": 1 / 60, "substeps": 2},
-    }
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config([f"task={name}", f"num_envs={num_envs}"])["task"]
+    cfg["env"].update(env_kw)
     return task_map[name](cfg)
 
 
-@pytest.mark.parametrize("name,num_obs,num_acts", [("Cartpole", 4, 1), ("Ant", 60, 8)])
+@pytest.mark.parametrize(
+    "name,num_obs,num_acts",
+    [("Cartpole", 4, 1), ("Ant", 60, 8), ("Humanoid", 108, 21), ("Anymal", 48, 12)],
+)
 def test_env_contract(name, num_obs, num_acts):
     env = make(name)
     assert env.num_obs == num_obs and env.num_acts == num_acts
