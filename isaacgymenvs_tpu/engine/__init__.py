@@ -8,5 +8,10 @@ from .dynamics import (  # noqa: F401
     integrate_positions,
     mass_matrix,
 )
-from .contacts import ContactData, contact_data, solve_contacts  # noqa: F401
+from .contacts import (  # noqa: F401
+    ConstraintData,
+    constraint_data,
+    contact_data,
+    solve_contacts,
+)
 from .step import StepOut, physics_step  # noqa: F401

@@ -1,20 +1,29 @@
-"""Contact generation + impulse solver (PGS, PhysX-style).
+"""Constraint generation + impulse solver.
 
 TPU-native replacement for the PhysX rigid-contact pipeline the reference
 drives through gym.simulate (solver_type/num_position_iterations/
-contact_offset knobs in cfg/task/*.yaml:48-61). Contact CANDIDATES are a
-static list of points precomputed per geom at parse time (sphere centers,
-capsule endpoints, box corners -- Model.cpoint_*) against the ground plane
-z=0, so contact generation is branch-free dense math with no broadphase and
-no dynamic shapes.
+contact_offset knobs in cfg/task/*.yaml:48-61). Three constraint sources,
+all assembled into ONE Delassus system solved together:
 
-The solver is velocity-level projected block Gauss-Seidel over contact
-impulses (normal complementarity + Coulomb friction-disk projection), i.e.
-the same family as PhysX PGS; Baumgarte stabilization pushes penetration
-out at a bounded velocity (mirroring max_depenetration_velocity). Being
-impulse-based it is unconditionally stable, so no penalty-stiffness tuning
-per model. The sweep is unrolled at trace time: every op is batched over
-the env axis under vmap.
+  1. point-vs-ground-plane contacts: static candidate points precomputed
+     per geom at parse time (sphere centers, capsule endpoints, box
+     corners -- Model.cpoint_*), so contact generation is branch-free
+     dense math with no broadphase and no dynamic shapes;
+  2. geom-pair contacts: a STATIC list of (sphere, other-geom) pairs
+     declared on the Model (Model.pair_*) with analytic narrowphase
+     (sphere vs sphere/box/cylinder/capsule) -- the TPU answer to PhysX
+     broadphase for the few cross-actor interactions tasks care about
+     (ball-on-tray, object-in-hand);
+  3. bilateral point constraints (Model.att_*): rigid 3-DOF anchors, the
+     equivalent of gymapi attractors (reference ball_balance.py:305-320).
+
+Every constraint contributes 3 rows in its local frame (t1, t2, n);
+unilateral rows get Coulomb friction-cone projection, bilateral rows are
+unprojected. The default solver is APGD (FISTA on the convex contact QP):
+each iteration is one batched matvec + an elementwise projection, so under
+vmap it runs as (envs, 3nc, 3nc) x (envs, 3nc) MXU matmuls and the trace
+is O(iterations) regardless of constraint count. PGS (PhysX-style
+sequential sweep) is kept as an option.
 """
 from __future__ import annotations
 
@@ -25,117 +34,277 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import maths
-from ..model.spec import Model
+from ..model.spec import (
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_CYLINDER,
+    GEOM_SPHERE,
+    Model,
+)
 from .dynamics import Kin, SimParams
 
 
-class ContactData(NamedTuple):
-    J: jax.Array  # (ncp, 3, nv) point Jacobians (rows: x, y, z point velocity)
-    phi: jax.Array  # (ncp,) penetration depth (>0 means penetrating)
-    mu: jax.Array  # (ncp,) friction coefficients
-    x: jax.Array  # (ncp, 3) world contact points
+class ConstraintData(NamedTuple):
+    J: jax.Array  # (nc, 3, nv) rows: (t1, t2, n) relative-velocity Jacobian
+    phi: jax.Array  # (nc,) penetration depth (>0 penetrating); 0 for bilateral
+    err: jax.Array  # (nc, 3) anchor error in constraint frame (bilateral only)
+    mu: jax.Array  # (nc,)
+    bilateral: jax.Array  # (nc,) 1.0 -> no cone projection
+    active: jax.Array  # (nc,) bool
+    x: jax.Array  # (nc, 3) world application points
+    frame: jax.Array  # (nc, 3, 3) rows t1, t2, n (world)
+    body_a: np.ndarray  # (nc,) static: body receiving +impulse
+    body_b: np.ndarray  # (nc,) static: body receiving -impulse (-1 = world)
 
 
-def contact_data(
+def _point_jacobian(kin: Kin, anc: jax.Array, dof_body: np.ndarray, bodies, x):
+    """J st. J qd = world velocity of point x attached to `bodies`.
+    bodies: static (k,) ints; x: (k, 3) world points -> (k, 3, nv)."""
+    P = anc[bodies][:, dof_body]  # (k, nv) path mask
+    S_ang = kin.S[:, :3]
+    S_lin = kin.S[:, 3:]
+    contrib = S_lin[None, :, :] + jnp.cross(
+        jnp.broadcast_to(S_ang[None, :, :], (x.shape[0],) + S_ang.shape),
+        x[:, None, :],
+    )  # (k, nv, 3)
+    return (contrib * P[:, :, None]).transpose(0, 2, 1)
+
+
+def _tangent_basis(n: jax.Array):
+    """Branchless orthonormal tangents for unit normals n (k, 3)."""
+    ref = jnp.where(
+        (jnp.abs(n[:, 2:3]) < 0.9),
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
+    )
+    t1 = jnp.cross(ref, n)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _sphere_vs_geom(center, radius, gtype: int, gpos, gquat, gsize):
+    """Analytic closest-point query of a sphere against one geom (world).
+    Returns (phi, normal pointing from geom INTO sphere, contact point)."""
+    d = maths.quat_rotate_inverse(gquat, center - gpos)  # sphere center, geom frame
+    if gtype == GEOM_SPHERE:
+        dist = jnp.linalg.norm(d)
+        n_l = d / jnp.maximum(dist, 1e-9)
+        phi = gsize[0] + radius - dist
+        surf = n_l * gsize[0]
+    elif gtype == GEOM_CAPSULE:
+        z = jnp.clip(d[2], -gsize[1], gsize[1])
+        seg = jnp.array([0.0, 0.0, 1.0]) * z
+        rel = d - seg
+        dist = jnp.linalg.norm(rel)
+        n_l = rel / jnp.maximum(dist, 1e-9)
+        phi = gsize[0] + radius - dist
+        surf = seg + n_l * gsize[0]
+    else:  # BOX or CYLINDER: clamp-to-volume with inside handling
+        if gtype == GEOM_BOX:
+            half = jnp.array([gsize[0], gsize[1], gsize[2]])
+            c = jnp.clip(d, -half, half)
+            inside = jnp.all(jnp.abs(d) < half)
+            # inside: push out through the nearest face
+            gaps = half - jnp.abs(d)  # (3,)
+            k = jnp.argmin(gaps)
+            sign = jnp.sign(d[k])
+            c_in = d.at[k].set(sign * half[k])
+            n_in = jnp.zeros(3).at[k].set(sign)
+            pen_in = gaps[k]
+        else:  # CYLINDER: radius gsize[0], half-height gsize[1]
+            r_xy = jnp.linalg.norm(d[:2])
+            scale = jnp.minimum(1.0, gsize[0] / jnp.maximum(r_xy, 1e-9))
+            c = jnp.concatenate([d[:2] * scale, jnp.clip(d[2:3], -gsize[1], gsize[1])])
+            inside = (r_xy < gsize[0]) & (jnp.abs(d[2]) < gsize[1])
+            gap_r = gsize[0] - r_xy
+            gap_z = gsize[1] - jnp.abs(d[2])
+            radial_dir = jnp.where(
+                r_xy > 1e-6,
+                jnp.concatenate([d[:2] / jnp.maximum(r_xy, 1e-9), jnp.zeros(1)]),
+                jnp.array([1.0, 0.0, 0.0]),
+            )
+            use_r = gap_r < gap_z
+            c_in = jnp.where(
+                use_r,
+                jnp.concatenate([radial_dir[:2] * gsize[0], d[2:3]]),
+                jnp.concatenate([d[:2], jnp.sign(d[2:3]) * gsize[1]]),
+            )
+            n_in = jnp.where(use_r, radial_dir, jnp.array([0.0, 0.0, 1.0]) * jnp.sign(d[2]))
+            pen_in = jnp.minimum(gap_r, gap_z)
+        rel = d - c
+        dist = jnp.linalg.norm(rel)
+        n_out = rel / jnp.maximum(dist, 1e-9)
+        phi_out = radius - dist
+        phi = jnp.where(inside, radius + pen_in, phi_out)
+        n_l = jnp.where(inside, n_in, n_out)
+        surf = jnp.where(inside, c_in, c)
+    n_w = maths.quat_rotate(gquat, n_l)
+    x_w = gpos + maths.quat_rotate(gquat, surf)
+    return phi, n_w, x_w
+
+
+def constraint_data(
     model: Model,
     kin: Kin,
     anc: jax.Array,
     plane_friction: jax.Array | float = 1.0,
-) -> ContactData:
-    """Candidate contact points vs the ground plane + their Jacobians."""
-    bodies = np.asarray(model.cpoint_body)
-    bq = kin.quat[bodies]
-    bx = kin.x[bodies]
-    x = bx + maths.quat_rotate(bq, model.cpoint_pos)  # (ncp, 3)
-    phi = model.cpoint_radius - x[:, 2]
-
-    # point Jacobian: dof d contributes S_lin_d + S_ang_d x r to the point
-    # velocity, masked to dofs on the path root->body.
+) -> ConstraintData:
+    """Assemble all constraint rows (plane contacts + pair contacts +
+    bilateral anchors). Static counts; pure; vmap over envs."""
     dof_body = np.asarray(model.dof_body)
-    P = anc[bodies][:, dof_body]  # (ncp, nv) path mask
-    S_ang = kin.S[:, :3]  # (nv, 3)
-    S_lin = kin.S[:, 3:]
-    # velocity of world point x from dof d: S_lin_d + S_ang_d x x
-    contrib = S_lin[None, :, :] + jnp.cross(
-        jnp.broadcast_to(S_ang[None, :, :], (x.shape[0],) + S_ang.shape),
-        x[:, None, :],
-    )  # (ncp, nv, 3)
-    J = (contrib * P[:, :, None]).transpose(0, 2, 1)  # (ncp, 3, nv)
-    mu = model.cpoint_friction * plane_friction
-    return ContactData(J=J, phi=phi, mu=mu, x=x)
+    nv = model.nv
+
+    Js, phis, errs, mus, bils, acts, xs, frames = [], [], [], [], [], [], [], []
+    bodies_a, bodies_b = [], []
+
+    # --- 1. candidate points vs ground plane ---------------------------
+    if model.ncp:
+        bodies = np.asarray(model.cpoint_body)
+        bq = kin.quat[bodies]
+        bx = kin.x[bodies]
+        x = bx + maths.quat_rotate(bq, model.cpoint_pos)  # (ncp, 3)
+        phi = model.cpoint_radius - x[:, 2]
+        k = len(bodies)
+        Jp = _point_jacobian(kin, anc, dof_body, bodies, x)  # world frame rows x,y,z
+        Js.append(Jp)  # frame = world: t1=x, t2=y, n=z
+        phis.append(phi)
+        errs.append(jnp.zeros((k, 3)))
+        mus.append(model.cpoint_friction * plane_friction)
+        bils.append(jnp.zeros(k))
+        acts.append(jnp.ones(k, bool))
+        xs.append(x)
+        frames.append(jnp.broadcast_to(jnp.eye(3), (k, 3, 3)))
+        bodies_a.append(bodies)
+        bodies_b.append(np.full(k, -1))
+
+    # --- 2. geom-pair contacts (sphere vs other) -----------------------
+    for ga, gb in zip(model.pair_geom_a, model.pair_geom_b):
+        ba, bb = model.geom_body[ga], model.geom_body[gb]
+        pa = kin.x[ba] + maths.quat_rotate(kin.quat[ba], model.geom_pos[ga])
+        radius = model.geom_size[ga][0]
+        pb = kin.x[bb] + maths.quat_rotate(kin.quat[bb], model.geom_pos[gb])
+        qb = maths.quat_mul(kin.quat[bb], model.geom_quat[gb])
+        phi, n, x = _sphere_vs_geom(
+            pa, radius, model.geom_type[gb], pb, qb, model.geom_size[gb]
+        )
+        t1, t2 = _tangent_basis(n[None])
+        C = jnp.stack([t1[0], t2[0], n])  # (3, 3)
+        Ja = _point_jacobian(kin, anc, dof_body, np.array([ba]), x[None])[0]
+        Jb = _point_jacobian(kin, anc, dof_body, np.array([bb]), x[None])[0]
+        Js.append((C @ (Ja - Jb))[None])
+        phis.append(phi[None])
+        errs.append(jnp.zeros((1, 3)))
+        mu = 0.5 * (model.geom_friction[ga] + model.geom_friction[gb])
+        mus.append(mu[None])
+        bils.append(jnp.zeros(1))
+        acts.append(jnp.ones(1, bool))
+        xs.append(x[None])
+        frames.append(C[None])
+        bodies_a.append(np.array([ba]))
+        bodies_b.append(np.array([bb]))
+
+    # --- 3. bilateral point anchors (attractors) -----------------------
+    if len(model.att_body):
+        bodies = np.asarray(model.att_body)
+        k = len(bodies)
+        x = kin.x[bodies] + maths.quat_rotate(kin.quat[bodies], model.att_offset)
+        err_w = model.att_target - x  # world error (drive to zero)
+        Jp = _point_jacobian(kin, anc, dof_body, bodies, x)
+        Js.append(Jp)
+        phis.append(jnp.zeros(k))
+        errs.append(err_w)  # frame = world
+        mus.append(jnp.zeros(k))
+        bils.append(jnp.ones(k))
+        acts.append(jnp.ones(k, bool))
+        xs.append(x)
+        frames.append(jnp.broadcast_to(jnp.eye(3), (k, 3, 3)))
+        bodies_a.append(bodies)
+        bodies_b.append(np.full(k, -1))
+
+    return ConstraintData(
+        J=jnp.concatenate(Js),
+        phi=jnp.concatenate(phis),
+        err=jnp.concatenate(errs),
+        mu=jnp.concatenate(mus),
+        bilateral=jnp.concatenate(bils),
+        active=jnp.concatenate(acts),
+        x=jnp.concatenate(xs),
+        frame=jnp.concatenate(frames),
+        body_a=np.concatenate(bodies_a),
+        body_b=np.concatenate(bodies_b),
+    )
+
+
+# backwards-compatible alias (plane-only call sites)
+contact_data = constraint_data
 
 
 class SolveOut(NamedTuple):
     qd: jax.Array  # (nv,) corrected velocity
-    impulse: jax.Array  # (ncp, 3) contact impulses (x, y, z world)
-    x: jax.Array  # (ncp, 3) contact points
-    qfrc: jax.Array  # (nv,) generalized contact impulse J^T lam
+    impulse: jax.Array  # (nc, 3) impulses in constraint frames
+    x: jax.Array  # (nc, 3) application points
+    qfrc: jax.Array  # (nv,) generalized constraint impulse J^T lam
 
 
-def _project_cone(lam: jax.Array, mu: jax.Array, active: jax.Array) -> jax.Array:
-    """Project (ncp, 3) impulses onto the Coulomb friction cone (disk
-    linearization): lam_n >= 0, |lam_t| <= mu * lam_n; inactive -> 0."""
+def _project(lam: jax.Array, mu: jax.Array, active, bilateral) -> jax.Array:
+    """Friction-cone projection for unilateral rows; identity for
+    bilateral rows; zero for inactive rows."""
     ln = jnp.maximum(lam[:, 2], 0.0)
     lt = lam[:, :2]
     lt_norm = jnp.sqrt(jnp.sum(lt * lt, axis=-1) + 1e-12)
     scale = jnp.minimum(1.0, mu * ln / lt_norm)
-    out = jnp.concatenate([lt * scale[:, None], ln[:, None]], axis=-1)
+    proj = jnp.concatenate([lt * scale[:, None], ln[:, None]], axis=-1)
+    out = jnp.where(bilateral[:, None] > 0, lam, proj)
     return jnp.where(active[:, None], out, 0.0)
 
 
 def solve_contacts(
     model: Model,
-    con: ContactData,
+    con: ConstraintData,
     minv_mul,  # callable: (nv, k) -> M^{-1} @ rhs
     qd_free: jax.Array,
     h,
     params: SimParams,
 ) -> SolveOut:
-    """Contact-impulse solve: velocity-level QP on the Delassus operator.
-
-    min_lam 1/2 lam^T A lam + lam^T b  s.t. lam in friction cone, where
-    A = J M^{-1} J^T and b = J qd_free - v_target (Baumgarte push-out on
-    the normal rows, mirroring max_depenetration_velocity). Two solvers:
-
-      * 'apgd' (default): accelerated projected gradient (FISTA) -- each
-        iteration is ONE batched matvec on A + an elementwise cone
-        projection. Under vmap this is an (envs, 3ncp, 3ncp) x
-        (envs, 3ncp) matmul: ideal MXU work, and the trace is O(iters)
-        regardless of contact count. Same convex-relaxation family as
-        Chrono's APGD solver.
-      * 'pgs': projected block Gauss-Seidel (the PhysX-style sweep),
-        expressed as a fori_loop over contacts so the trace stays small.
-
-    Applies qd = qd_free + M^{-1} J^T lam.
-    """
-    ncp = con.J.shape[0]
+    """Impulse solve over the assembled constraint rows: velocity-level QP
+    min 1/2 lam^T A lam + lam^T b over the product of friction cones
+    (x R^3 for bilateral rows), A = J M^{-1} J^T. See module docstring."""
+    nc = con.J.shape[0]
     nv = con.J.shape[2]
-    Jf = con.J.reshape(ncp * 3, nv)
-    MinvJT = minv_mul(Jf.T)  # (nv, 3*ncp)
-    A = Jf @ MinvJT + 1e-6 * jnp.eye(ncp * 3)  # Delassus operator
-    b = (Jf @ qd_free).reshape(ncp, 3)
+    Jf = con.J.reshape(nc * 3, nv)
+    MinvJT = minv_mul(Jf.T)  # (nv, 3*nc)
+    A = Jf @ MinvJT + 1e-6 * jnp.eye(nc * 3)
+    b = (Jf @ qd_free).reshape(nc, 3)
 
-    active = con.phi > -params.contact_margin
+    active = con.active & (
+        (con.phi > -params.contact_margin) | (con.bilateral > 0)
+    )
     # Baumgarte: push out at erp*phi/h, capped (max_depenetration_velocity)
     vn_target = jnp.minimum(
         params.baumgarte_erp * jnp.maximum(con.phi, 0.0) / h,
         params.max_depenetration_velocity,
     )
     b = b.at[:, 2].add(-vn_target)
+    # bilateral anchors: drive the full 3D error to zero
+    v_err = jnp.einsum(
+        "cij,cj->ci", con.frame, con.err
+    ) * (params.baumgarte_erp_attractor / h)
+    b = b - v_err * con.bilateral[:, None]
 
     if params.solver == "apgd":
-        lam = _solve_apgd(A, b, con.mu, active, params)
+        lam = _solve_apgd(A, b, con.mu, active, con.bilateral, params)
     else:
-        lam = _solve_pgs(A, b, con.mu, active, params)
+        lam = _solve_pgs(A, b, con.mu, active, con.bilateral, params)
 
-    lam_flat = lam.reshape(ncp * 3)
+    lam_flat = lam.reshape(nc * 3)
     qd = qd_free + MinvJT @ lam_flat
     return SolveOut(qd=qd, impulse=lam, x=con.x, qfrc=Jf.T @ lam_flat)
 
 
-def _solve_apgd(A, b, mu, active, params: SimParams) -> jax.Array:
-    ncp = b.shape[0]
-    n = ncp * 3
+def _solve_apgd(A, b, mu, active, bilateral, params: SimParams) -> jax.Array:
+    nc = b.shape[0]
+    n = nc * 3
     bf = b.reshape(n)
     # Lipschitz upper bound: inf-norm row sum of A (cheap, safe)
     L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), 1e-8)
@@ -153,24 +322,24 @@ def _solve_apgd(A, b, mu, active, params: SimParams) -> jax.Array:
     def it(carry, beta):
         lam, y = carry
         g = A @ y + bf
-        lam_new = _project_cone(
-            (y - step * g).reshape(ncp, 3), mu, active
+        lam_new = _project(
+            (y - step * g).reshape(nc, 3), mu, active, bilateral
         ).reshape(n)
         y = lam_new + beta * (lam_new - lam)
         return (lam_new, y), None
 
     lam0 = jnp.zeros(n)
     (lam, _), _ = jax.lax.scan(it, (lam0, lam0), betas)
-    return lam.reshape(ncp, 3)
+    return lam.reshape(nc, 3)
 
 
-def _solve_pgs(A, b, mu, active, params: SimParams) -> jax.Array:
+def _solve_pgs(A, b, mu, active, bilateral, params: SimParams) -> jax.Array:
     """Block Gauss-Seidel sweep as a fori_loop (small trace, sequential)."""
-    ncp = b.shape[0]
-    A4 = A.reshape(ncp, 3, ncp, 3)
-    diag_nn = jnp.stack([A4[c, 2, c, 2] for c in range(ncp)])
+    nc = b.shape[0]
+    A4 = A.reshape(nc, 3, nc, 3)
+    diag_nn = jnp.stack([A4[c, 2, c, 2] for c in range(nc)])
     inv_dnn = 1.0 / diag_nn
-    Dt = jnp.stack([A4[c, :2, c, :2] for c in range(ncp)])  # (ncp, 2, 2)
+    Dt = jnp.stack([A4[c, :2, c, :2] for c in range(nc)])  # (nc, 2, 2)
     det = Dt[:, 0, 0] * Dt[:, 1, 1] - Dt[:, 0, 1] * Dt[:, 1, 0]
     det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
     Dt_inv = (
@@ -186,31 +355,42 @@ def _solve_pgs(A, b, mu, active, params: SimParams) -> jax.Array:
 
     def contact_update(c, lam):
         r = jnp.einsum("ikl,kl->i", A4[c], lam) + b[c]
-        ln = jnp.maximum(lam[c, 2] - r[2] * inv_dnn[c], 0.0)
+        ln_raw = lam[c, 2] - r[2] * inv_dnn[c]
+        ln = jnp.where(bilateral[c] > 0, ln_raw, jnp.maximum(ln_raw, 0.0))
         dn = ln - lam[c, 2]
         r_t = r[:2] + A4[c, :2, c, 2] * dn
         lt = lam[c, :2] - Dt_inv[c] @ r_t
         lt_norm = jnp.sqrt(jnp.sum(lt * lt) + 1e-12)
-        lt = lt * jnp.minimum(1.0, mu[c] * ln / lt_norm)
+        cap = jnp.where(bilateral[c] > 0, 1e30, mu[c] * ln)
+        lt = lt * jnp.minimum(1.0, cap / lt_norm)
         new_c = jnp.where(active[c], jnp.array([lt[0], lt[1], ln]), jnp.zeros(3))
         return lam.at[c].set(new_c)
 
     def sweep(lam, _):
-        return jax.lax.fori_loop(0, ncp, contact_update, lam), None
+        return jax.lax.fori_loop(0, nc, contact_update, lam), None
 
     lam, _ = jax.lax.scan(
-        sweep, jnp.zeros((ncp, 3)), None, length=params.solver_pgs_iterations
+        sweep, jnp.zeros((nc, 3)), None, length=params.solver_pgs_iterations
     )
     return lam
 
 
-def body_contact_wrench(model: Model, out: SolveOut, kin: Kin, h):
-    """Per-body contact force/torque (world, about the body origin) -- the
-    TPU equivalent of force sensors / net_contact_force tensors
-    (reference ant.py:174-178 create_asset_force_sensor)."""
-    bodies = np.asarray(model.cpoint_body)
-    F = out.impulse / h  # impulses -> average forces over the substep
-    body_force = jax.ops.segment_sum(F, bodies, num_segments=model.nbody)
-    torque = jnp.cross(out.x - kin.x[bodies], F)
-    body_torque = jax.ops.segment_sum(torque, bodies, num_segments=model.nbody)
+def accumulate_body_wrench(model: Model, con: ConstraintData, out: SolveOut, kin: Kin, h):
+    F = jnp.einsum("cji,cj->ci", con.frame, out.impulse / h)  # world forces
+    nb = model.nbody
+    body_force = jnp.zeros((nb, 3))
+    body_torque = jnp.zeros((nb, 3))
+    ba = con.body_a
+    torque_a = jnp.cross(out.x - kin.x[ba], F)
+    body_force = body_force.at[ba].add(F)
+    body_torque = body_torque.at[ba].add(torque_a)
+    bb = con.body_b
+    valid_b = bb >= 0
+    if valid_b.any():
+        idx = np.where(valid_b)[0]
+        bbv = bb[idx]
+        body_force = body_force.at[bbv].add(-F[idx])
+        body_torque = body_torque.at[bbv].add(
+            -jnp.cross(out.x[idx] - kin.x[bbv], F[idx])
+        )
     return body_force, body_torque

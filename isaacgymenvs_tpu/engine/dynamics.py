@@ -52,6 +52,7 @@ class SimParams:
         default_factory=lambda: jnp.array([0.0, 0.0, -9.81])
     )
     baumgarte_erp: float = 0.2  # penetration push-out rate (fraction per step)
+    baumgarte_erp_attractor: float = 0.7  # bilateral anchor error correction
     max_depenetration_velocity: float = 10.0  # cfg physx knob (Ant.yaml:55)
     contact_margin: float = 0.0
     limit_stiffness: float = 400.0

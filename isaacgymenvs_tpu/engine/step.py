@@ -66,9 +66,9 @@ def physics_step(
             q_spring=q_target,
         )
         qd_free = qd + h * qdd
-        con = _contacts.contact_data(model, kin, anc, plane_friction)
+        con = _contacts.constraint_data(model, kin, anc, plane_friction)
         sol = _contacts.solve_contacts(model, con, minv_mul, qd_free, h, params)
-        bf, bt = _contacts.body_contact_wrench(model, sol, kin, h)
+        bf, bt = _contacts.accumulate_body_wrench(model, con, sol, kin, h)
         q2 = _dyn.integrate_positions(model, q, sol.qd, h, meta)
         return (q2, sol.qd), (bf, bt, sol.qfrc / h)
 

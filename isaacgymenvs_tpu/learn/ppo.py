@@ -182,7 +182,9 @@ class PPO:
             )
         else:
             self.tx = optax.scale_by_adam(eps=1e-8)
-        self._train_epoch = jax.jit(self.train_epoch, donate_argnums=(0,))
+        # NOTE: no donate_argnums -- buffer donation triggers InvalidArgument
+        # on the axon-tunnel TPU backend (works on real local chips; revisit)
+        self._train_epoch = jax.jit(self.train_epoch)
 
     # ------------------------------------------------------------------
     def init(self, key=None) -> PPOTrainState:

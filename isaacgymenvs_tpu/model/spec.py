@@ -74,7 +74,6 @@ class Model:
     # geoms (static layout info; per-geom body assignment)
     geom_body: Tuple[int, ...] = struct.field(pytree_node=False)
     geom_type: Tuple[int, ...] = struct.field(pytree_node=False)
-
     # ---- parameters (jnp leaves; may gain a leading env batch dim for DR) ----
     body_pos: jax.Array  # (nbody, 3) frame offset in parent frame
     body_quat: jax.Array  # (nbody, 4) xyzw
@@ -104,6 +103,17 @@ class Model:
     cpoint_friction: jax.Array  # (ncp,)
     # reference pose (default q, e.g. from MJCF qpos0)
     qpos0: jax.Array  # (nq,)
+
+    # ---- optional interaction declarations (defaults last) ----
+    # declared geom-pair contacts (sphere-vs-geom narrowphase, the TPU
+    # replacement for broadphase between the few interacting actors)
+    pair_geom_a: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    pair_geom_b: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # bilateral point anchors (gymapi attractor equivalent,
+    # reference ball_balance.py:305-320): body + local offset + world target
+    att_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    att_offset: jax.Array = None  # (natt, 3)
+    att_target: jax.Array = None  # (natt, 3)
 
     @property
     def ngeom(self) -> int:
@@ -401,6 +411,8 @@ class ModelBuilder:
             cpoint_radius=jnp.asarray(cp_rad, f32),
             cpoint_friction=jnp.asarray(cp_fric, f32),
             qpos0=jnp.asarray(qpos0, f32),
+            att_offset=jnp.zeros((0, 3), f32),
+            att_target=jnp.zeros((0, 3), f32),
         )
 
 

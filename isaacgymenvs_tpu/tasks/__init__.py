@@ -10,12 +10,14 @@ from typing import Dict, Type
 from ..envcore.vec_task import VecTask
 from .ant import Ant
 from .anymal import Anymal
+from .ball_balance import BallBalance
 from .cartpole import Cartpole
 from .humanoid import Humanoid
 
 task_map: Dict[str, Type[VecTask]] = {
     "Cartpole": Cartpole,
     "Ant": Ant,
+    "BallBalance": BallBalance,
     "Anymal": Anymal,
     "Humanoid": Humanoid,
 }

@@ -19,7 +19,13 @@ def make(name, num_envs=8, **env_kw):
 
 @pytest.mark.parametrize(
     "name,num_obs,num_acts",
-    [("Cartpole", 4, 1), ("Ant", 60, 8), ("Humanoid", 108, 21), ("Anymal", 48, 12)],
+    [
+        ("Cartpole", 4, 1),
+        ("Ant", 60, 8),
+        ("Humanoid", 108, 21),
+        ("Anymal", 48, 12),
+        ("BallBalance", 24, 3),
+    ],
 )
 def test_env_contract(name, num_obs, num_acts):
     env = make(name)
