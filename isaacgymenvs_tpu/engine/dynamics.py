@@ -402,7 +402,13 @@ def passive_force(
     D = model.dof_damping + model.dof_limited * jnp.where(
         violating, params.limit_damping, 0.0
     )
-    return tau, D
+    # stiffness coefficient returned for IMPLICIT spring integration
+    # (h^2 K added to the system matrix): arbitrarily stiff drives stay
+    # stable regardless of the driven inertia
+    K = model.dof_stiffness + model.dof_limited * jnp.where(
+        violating, params.limit_stiffness, 0.0
+    )
+    return tau, D, K
 
 
 def forward_dynamics(
@@ -427,8 +433,8 @@ def forward_dynamics(
         kin = forward_kinematics(model, q, qd)
     M = mass_matrix(model, kin, masks)
     C = bias_force(model, kin, qd, params.gravity, f_ext, masks)
-    tau_p, D = passive_force(model, q, qd, params, sq_adr, q_spring)
-    Mh = M + h * jnp.diag(D)
+    tau_p, D, K = passive_force(model, q, qd, params, sq_adr, q_spring)
+    Mh = M + jnp.diag(h * D + h * h * K)
     # dense symmetric-PD solve; nv is small (8-40)
     L, lower = jax.scipy.linalg.cho_factor(Mh, lower=True)
     qdd = jax.scipy.linalg.cho_solve((L, lower), tau + tau_p - D * qd - C)

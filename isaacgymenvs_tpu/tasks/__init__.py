@@ -13,6 +13,8 @@ from .anymal import Anymal
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
 from .humanoid import Humanoid
+from .ingenuity import Ingenuity
+from .quadcopter import Quadcopter
 
 task_map: Dict[str, Type[VecTask]] = {
     "Cartpole": Cartpole,
@@ -20,6 +22,8 @@ task_map: Dict[str, Type[VecTask]] = {
     "BallBalance": BallBalance,
     "Anymal": Anymal,
     "Humanoid": Humanoid,
+    "Ingenuity": Ingenuity,
+    "Quadcopter": Quadcopter,
 }
 
 

@@ -25,6 +25,8 @@ def make(name, num_envs=8, **env_kw):
         ("Humanoid", 108, 21),
         ("Anymal", 48, 12),
         ("BallBalance", 24, 3),
+        ("Ingenuity", 13, 6),
+        ("Quadcopter", 21, 12),
     ],
 )
 def test_env_contract(name, num_obs, num_acts):
