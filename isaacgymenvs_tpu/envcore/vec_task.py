@@ -58,6 +58,10 @@ class EnvState:
     rng: jax.Array  # (2,) single fold-in key for the whole batch
     actions: jax.Array  # (num_envs, num_acts) last applied actions
     task: Any = None  # task-specific pytree (targets, potentials, ...)
+    # domain randomization (None when task.randomize is off):
+    dr: Any = None  # dict name -> (num_envs, ...) sampled factors/offsets
+    randomize_buf: jax.Array = None  # (num_envs,) steps since last re-rand
+    frames: jax.Array = None  # () int32 total env steps (DR schedules)
 
 
 class VecTask:
@@ -93,6 +97,15 @@ class VecTask:
         self.clip_actions = float(env_cfg.get("clipActions", np.inf))
         self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 1))
         self.model, self.sim_params = self.build_model()
+        # domain randomization (reference vec_task.py:568-840 DR engine)
+        task_cfg = cfg.get("task", {}) or {}
+        self.randomizer = None
+        if task_cfg.get("randomize"):
+            from ..dr.randomize import DomainRandomizer
+
+            self.randomizer = DomainRandomizer(
+                self.model, task_cfg.get("randomization_params", {})
+            )
         # env-step dt as seen by the task (vec_task control_freq_inv semantics)
         self.dt = self.sim_params.dt * self.control_freq_inv
 
@@ -177,12 +190,12 @@ class VecTask:
         return np.where(sq >= 0)[0]
 
     # ---- the vectorized pure functions --------------------------------
-    def _one_env_physics(self, q, qd, qfrc, xfrc, q_target=None):
+    def _one_env_physics(self, model, params, q, qd, qfrc, xfrc, q_target=None):
         out = physics_step(
-            self.model,
+            model,
             SimState(q=q, qd=qd),
             qfrc,
-            self.sim_params,
+            params,
             xfrc=xfrc,
             q_target=q_target,
         )
@@ -191,6 +204,20 @@ class VecTask:
             out.state.qd,
             Sensors(out.body_force, out.body_torque, out.dof_force),
         )
+
+    def _physics_vmap_spec(self, dr_sample):
+        """(model, params, their vmap axes) honoring per-env DR leaves."""
+        model, params = self.model, self.sim_params
+        model_axes = jax.tree.map(lambda _: None, model)
+        params_axes = jax.tree.map(lambda _: None, params)
+        if self.randomizer is not None and dr_sample is not None:
+            model = self.randomizer.batched_model(model, dr_sample)
+            model_axes = self.randomizer.model_axes(self.model)
+            grav = self.randomizer.gravity(params.gravity, dr_sample)
+            if grav is not None:
+                params = params.replace(gravity=grav)
+                params_axes = params_axes.replace(gravity=0)
+        return model, params, model_axes, params_axes
 
     def reset(self, rng: jax.Array) -> Tuple[EnvState, jax.Array]:
         """Full reset of all envs (reference vec_task.py:426 reset())."""
@@ -209,6 +236,10 @@ class VecTask:
         obs = jax.vmap(self.observe)(
             q, qd, kin, sensors, task, actions, progress
         )
+        dr = None
+        if self.randomizer is not None:
+            key, kdr = jax.random.split(key)
+            dr = self.randomizer.sample(kdr, n, jnp.zeros((), jnp.int32))
         state = EnvState(
             sim=SimState(q=q, qd=qd),
             progress=progress,
@@ -216,6 +247,9 @@ class VecTask:
             rng=key,
             actions=actions,
             task=task,
+            dr=dr,
+            randomize_buf=jnp.zeros(n, jnp.int32),
+            frames=jnp.zeros((), jnp.int32),
         )
         return state, jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
@@ -225,6 +259,11 @@ class VecTask:
         """One vectorized env step; see module docstring for the exact
         ordering contract vs the reference."""
         n = self.num_envs
+        key = state.rng
+        frames = state.frames if state.frames is not None else jnp.zeros((), jnp.int32)
+        if self.randomizer is not None:
+            key, kan = jax.random.split(key)
+            actions = self.randomizer.action_noise(kan, actions, frames)
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
         # 1. apply actions + physics
@@ -237,11 +276,16 @@ class VecTask:
             qfrc, xfrc = jax.vmap(self.compute_force)(actions, q0, qd0, state.task)
             q_target = None
 
+        model_b, params_b, model_axes, params_axes = self._physics_vmap_spec(
+            state.dr
+        )
+
         def control_loop(carry, _):
             q, qd = carry
-            q, qd, sensors = jax.vmap(self._one_env_physics)(
-                q, qd, qfrc, xfrc, q_target
-            )
+            q, qd, sensors = jax.vmap(
+                self._one_env_physics,
+                in_axes=(model_axes, params_axes, 0, 0, 0, 0, 0 if q_target is not None else None),
+            )(model_b, params_b, q, qd, qfrc, xfrc, q_target)
             return (q, qd), sensors
 
         (q, qd), sensor_hist = jax.lax.scan(
@@ -253,7 +297,7 @@ class VecTask:
         progress = state.progress + 1
 
         # 3. partial resets of envs flagged done last step (branch-free)
-        key, sub = jax.random.split(state.rng)
+        key, sub = jax.random.split(key)
         init_q, init_qd, init_task = jax.vmap(self.sample_init)(
             jax.random.split(sub, n)
         )
@@ -269,9 +313,39 @@ class VecTask:
         sensors = jax.tree.map(lambda x: sel(jnp.zeros_like(x), x), sensors)
         progress = jnp.where(done_prev, 0, progress)
 
+        # 3b. DR bookkeeping: re-randomize due envs at their reset
+        # (frequency gating via randomize_buf, vec_task.py:619-635)
+        dr = state.dr
+        rbuf = state.randomize_buf
+        if self.randomizer is not None:
+            rbuf = rbuf + 1
+            due = done_prev & (rbuf >= self.randomizer.frequency)
+            key, kdr = jax.random.split(key)
+            fresh = self.randomizer.sample(kdr, n, frames)
+            setup_names = {
+                s.name for s in self.randomizer.model_specs if s.setup_only
+            }
+            dr = {
+                k: (
+                    dr[k]
+                    if k in setup_names
+                    else jnp.where(
+                        due.reshape((n,) + (1,) * (fresh[k].ndim - 1)),
+                        fresh[k],
+                        dr[k],
+                    )
+                )
+                for k in dr
+            }
+            rbuf = jnp.where(due, 0, rbuf)
+        frames = frames + 1
+
         # 4. observe on the post-reset state
         kin = jax.vmap(lambda qq, qv: _dyn.forward_kinematics(self.model, qq, qv))(q, qd)
         obs = jax.vmap(self.observe)(q, qd, kin, sensors, task, actions, progress)
+        if self.randomizer is not None:
+            key, kon = jax.random.split(key)
+            obs = self.randomizer.observation_noise(kon, obs, frames)
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
         # 5. reward + new done flags
@@ -296,5 +370,8 @@ class VecTask:
             rng=key,
             actions=actions,
             task=task,
+            dr=dr,
+            randomize_buf=rbuf,
+            frames=frames,
         )
         return new_state, obs, reward, done, extras
