@@ -159,7 +159,7 @@ def constraint_data(
     bodies_a, bodies_b = [], []
 
     # --- 1. candidate points vs ground plane ---------------------------
-    if model.ncp:
+    if model.ncp and model.plane_contacts:
         bodies = np.asarray(model.cpoint_body)
         bq = kin.quat[bodies]
         bx = kin.x[bodies]
@@ -203,6 +203,43 @@ def constraint_data(
         frames.append(C[None])
         bodies_a.append(np.array([ba]))
         bodies_b.append(np.array([bb]))
+
+    # --- 2b. candidate-point-vs-geom pairs (hand-object style) ---------
+    if len(model.ppair_point):
+        pts = np.asarray(model.ppair_point)
+        geoms = np.asarray(model.ppair_geom)
+        for gb in np.unique(geoms):
+            sel = pts[geoms == gb]
+            bodies = np.asarray(model.cpoint_body)[sel]
+            bb = model.geom_body[int(gb)]
+            centers = kin.x[bodies] + maths.quat_rotate(
+                kin.quat[bodies], model.cpoint_pos[sel]
+            )  # (k, 3)
+            radii = model.cpoint_radius[sel]
+            pb = kin.x[bb] + maths.quat_rotate(kin.quat[bb], model.geom_pos[gb])
+            qb = maths.quat_mul(kin.quat[bb], model.geom_quat[gb])
+            phi, n, x = jax.vmap(
+                _sphere_vs_geom, in_axes=(0, 0, None, None, None, None)
+            )(centers, radii, model.geom_type[int(gb)], pb, qb, model.geom_size[gb])
+            t1, t2 = _tangent_basis(n)
+            C = jnp.stack([t1, t2, n], axis=1)  # (k, 3, 3)
+            Ja = _point_jacobian(kin, anc, dof_body, bodies, x)
+            Jb = _point_jacobian(
+                kin, anc, dof_body, np.full(len(sel), bb), x
+            )
+            k = len(sel)
+            Js.append(jnp.einsum("kij,kjv->kiv", C, Ja - Jb))
+            phis.append(phi)
+            errs.append(jnp.zeros((k, 3)))
+            mus.append(
+                0.5 * (model.cpoint_friction[sel] + model.geom_friction[gb])
+            )
+            bils.append(jnp.zeros(k))
+            acts.append(jnp.ones(k, bool))
+            xs.append(x)
+            frames.append(C)
+            bodies_a.append(bodies)
+            bodies_b.append(np.full(k, bb))
 
     # --- 3. bilateral point anchors (attractors) -----------------------
     if len(model.att_body):

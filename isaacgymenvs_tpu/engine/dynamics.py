@@ -408,6 +408,19 @@ def passive_force(
     K = model.dof_stiffness + model.dof_limited * jnp.where(
         violating, params.limit_stiffness, 0.0
     )
+
+    # fixed tendons: limit springs on linear joint couplings
+    # t = coef . q; out-of-range violation resisted with limit_stiffness,
+    # tendon velocity damped (reference shadow_hand.py:255-266 sets
+    # limit_stiffness/damping on the T_*J1c coupling tendons)
+    if model.tendon_coef is not None and model.tendon_coef.shape[0]:
+        t_val = model.tendon_coef @ q_scalar  # (nt,)
+        t_vel = model.tendon_coef @ qd
+        viol = jnp.maximum(t_val - model.tendon_range[:, 1], 0.0) + jnp.minimum(
+            t_val - model.tendon_range[:, 0], 0.0
+        )
+        f_t = -model.tendon_stiffness * viol - model.tendon_damping * t_vel
+        tau = tau + model.tendon_coef.T @ f_t
     return tau, D, K
 
 

@@ -30,12 +30,64 @@ from .spec import (
     GEOM_BOX,
     GEOM_CAPSULE,
     GEOM_CYLINDER,
+    GEOM_MESH,
     GEOM_SPHERE,
     HINGE,
     SLIDE,
     Model,
     ModelBuilder,
 )
+
+
+def _load_stl(path: str, scale) -> np.ndarray:
+    """Binary/ASCII STL -> unique vertex array (V, 3) * scale."""
+    with open(path, "rb") as f:
+        head = f.read(80)
+        import struct as _st
+
+        if head[:5].lower() == b"solid":
+            # could still be binary; check triangle count consistency
+            f.seek(80)
+            raw = f.read(4)
+            if len(raw) == 4:
+                (n,) = _st.unpack("<I", raw)
+                size_ok = False
+                try:
+                    import os as _os
+
+                    size_ok = _os.path.getsize(path) == 84 + 50 * n
+                except OSError:
+                    pass
+                if not size_ok:
+                    verts = []
+                    with open(path, "r", errors="ignore") as tf:
+                        for line in tf:
+                            t = line.split()
+                            if t[:1] == ["vertex"]:
+                                verts.append([float(t[1]), float(t[2]), float(t[3])])
+                    v = np.asarray(verts, np.float64)
+                    return np.unique(v, axis=0) * scale
+        f.seek(80)
+        (n,) = _st.unpack("<I", f.read(4))
+        data = np.frombuffer(f.read(50 * n), dtype=np.uint8)
+        tri = data.reshape(n, 50)[:, :48].copy().view("<f4").reshape(n, 4, 3)
+        v = tri[:, 1:4].reshape(-1, 3).astype(np.float64)
+    return np.unique(np.round(v, 7), axis=0) * scale
+
+
+def _farthest_points(verts: np.ndarray, k: int) -> np.ndarray:
+    """Greedy farthest-point subsample of mesh vertices (contact candidates
+    for mesh geoms -- the dense-grid-friendly stand-in for PhysX convex
+    decomposition)."""
+    if len(verts) <= k:
+        return verts
+    sel = [int(np.argmax(np.linalg.norm(verts - verts.mean(0), axis=1)))]
+    d = np.linalg.norm(verts - verts[sel[0]], axis=1)
+    for _ in range(k - 1):
+        i = int(np.argmax(d))
+        sel.append(i)
+        d = np.minimum(d, np.linalg.norm(verts - verts[i], axis=1))
+    return verts[sel]
 
 _GEOM_TYPES = {
     "sphere": GEOM_SPHERE,
@@ -147,11 +199,12 @@ def _parse_orientation(attrs, deg2rad):
         return _quat_wxyz_to_xyzw(_fv(attrs["quat"], 4))
     if "euler" in attrs:
         e = _fv(attrs["euler"], 3) * deg2rad
-        # MuJoCo default eulerseq is xyz (extrinsic)
+        # MuJoCo default eulerseq "xyz" is lowercase = INTRINSIC (rotations
+        # about the moving frame): R = Rx @ Ry @ Rz
         qx = np.array([np.sin(e[0] / 2), 0, 0, np.cos(e[0] / 2)])
         qy = np.array([0, np.sin(e[1] / 2), 0, np.cos(e[1] / 2)])
         qz = np.array([0, 0, np.sin(e[2] / 2), np.cos(e[2] / 2)])
-        return _quat_mul_xyzw(qz, _quat_mul_xyzw(qy, qx))
+        return _quat_mul_xyzw(qx, _quat_mul_xyzw(qy, qz))
     if "axisangle" in attrs:
         aa = _fv(attrs["axisangle"], 4)
         axis = aa[:3] / max(np.linalg.norm(aa[:3]), 1e-12)
@@ -208,15 +261,51 @@ def parse_mjcf(root: ET.Element, base_dir: str = ".") -> Model:
         inertiafromgeom = compiler.get("inertiafromgeom", inertiafromgeom)
     deg2rad = np.pi / 180.0 if angle == "degree" else 1.0
 
-    # include files
-    for inc in root.findall("include"):
-        sub = ET.parse(os.path.join(base_dir, inc.get("file"))).getroot()
-        for child in sub:
-            root.append(child)
+    # include files: recursive, position-preserving (MJCF <include> may
+    # appear anywhere, e.g. inside <worldbody> -- shadow_hand.xml:8-14)
+    def _expand_includes(node):
+        expanded = True
+        while expanded:
+            expanded = False
+            for parent in node.iter():
+                for idx, child in enumerate(list(parent)):
+                    if child.tag == "include":
+                        sub = ET.parse(
+                            os.path.join(base_dir, child.get("file"))
+                        ).getroot()
+                        parent.remove(child)
+                        for j, sc in enumerate(list(sub)):
+                            parent.insert(idx + j, sc)
+                        expanded = True
+                        break
+                if expanded:
+                    break
+
+    _expand_includes(root)
 
     defaults = _Defaults()
     for d in root.findall("default"):
         defaults.parse(d)
+
+    # asset meshes (STL): name -> scaled vertex cloud
+    meshdir = compiler.get("meshdir", ".") if compiler is not None else "."
+    meshes = {}
+    for asset in root.findall("asset"):
+        for m in asset.findall("mesh"):
+            file = m.get("file")
+            if file is None or not file.lower().endswith(".stl"):
+                continue
+            name = m.get("name", os.path.splitext(os.path.basename(file))[0])
+            scale_attr = m.get("scale", "1 1 1")
+            scale = _fv(scale_attr)
+            if scale.size == 1:
+                scale = np.repeat(scale, 3)
+            path = os.path.join(base_dir, meshdir, file)
+            if os.path.exists(path):
+                try:
+                    meshes[name] = _load_stl(path, scale)
+                except Exception:
+                    pass
 
     b = ModelBuilder()
     worldbody = root.find("worldbody")
@@ -246,16 +335,36 @@ def parse_mjcf(root: ET.Element, base_dir: str = ".") -> Model:
         geom_data = []  # (gtype, pos, quat, size, mass, inertia_com)
         for g in elem.findall("geom"):
             ga = defaults.resolve("geom", g.attrib, g.attrib.get("class", cls))
-            if ga.get("type", "sphere") == "plane":
+            gt_name = ga.get("type", "sphere")
+            if gt_name == "plane":
                 continue  # static world plane handled by the engine's ground
-            gtype, gpos, gquat, gsize = _geom_frame_and_size(ga, deg2rad)
             density = float(ga.get("density", 1000.0))
             fric_v = _fv(ga.get("friction", "1 0.005 0.0001"))
             contype = int(ga.get("contype", 1))
             conaffinity = int(ga.get("conaffinity", 1))
-            m, icom = _geom_mass_inertia(gtype, gsize, density)
+            mesh_pts = None
+            if gt_name == "mesh":
+                mesh_name = ga.get("mesh")
+                verts = meshes.get(mesh_name)
+                if verts is None or len(verts) == 0:
+                    continue  # unsupported mesh format -> skip geom
+                gpos = _fv(ga.get("pos", "0 0 0"), 3)
+                gquat = _parse_orientation(ga, deg2rad)
+                gtype = GEOM_MESH
+                lo, hi = verts.min(0), verts.max(0)
+                gsize = np.maximum((hi - lo) / 2.0, 1e-5)  # AABB half extents
+                center = (hi + lo) / 2.0
+                # contact candidates: farthest-point vertex subsample
+                mesh_pts = _farthest_points(verts, 6)
+                m, icom = spec.box_inertia(density, gsize)
+                # shift geom frame so inertia/candidates reference gpos
+                gpos = gpos + _quat_rot_xyzw(gquat, center)
+                mesh_pts = mesh_pts - center
+            else:
+                gtype, gpos, gquat, gsize = _geom_frame_and_size(ga, deg2rad)
+                m, icom = _geom_mass_inertia(gtype, gsize, density)
             geom_data.append((gtype, gpos, gquat, gsize, m, icom, float(fric_v[0]),
-                              contype, conaffinity))
+                              contype, conaffinity, mesh_pts))
             geoms.append(ga)
 
         if inertial_elem is not None:
@@ -276,13 +385,13 @@ def parse_mjcf(root: ET.Element, base_dir: str = ".") -> Model:
             inertia = R @ i_local @ R.T
         else:
             # accumulate from geoms
-            for gtype, gpos, gquat, gsize, m, icom, _f, _ct, _ca in geom_data:
+            for gtype, gpos, gquat, gsize, m, icom, _f, _ct, _ca, _mp in geom_data:
                 total_mass += m
                 com = com + m * gpos
             if total_mass > 0:
                 com = com / total_mass
             inertia = np.zeros((3, 3))
-            for gtype, gpos, gquat, gsize, m, icom, _f, _ct, _ca in geom_data:
+            for gtype, gpos, gquat, gsize, m, icom, _f, _ct, _ca, _mp in geom_data:
                 R = _quat_to_mat_xyzw(gquat)
                 i_rot = R @ icom @ R.T
                 d = gpos - com
@@ -340,10 +449,10 @@ def parse_mjcf(root: ET.Element, base_dir: str = ".") -> Model:
                 b.qpos0_scalar[body_idx] = ref
 
         for gd in geom_data:
-            gtype, gpos, gquat, gsize, m, icom, fric, contype, conaffinity = gd
+            gtype, gpos, gquat, gsize, m, icom, fric, contype, conaffinity, mp = gd
             if contype == 0 and conaffinity == 0:
                 continue  # visual-only
-            b.add_geom(body_idx, gtype, gpos, gquat, gsize, fric)
+            b.add_geom(body_idx, gtype, gpos, gquat, gsize, fric, mesh_points=mp)
 
         for child in elem.findall("body"):
             parse_body(child, body_idx, cls)
@@ -352,21 +461,51 @@ def parse_mjcf(root: ET.Element, base_dir: str = ".") -> Model:
         parse_body(body_elem, -1, "__top__")
 
     # actuators
-    act_root = root.find("actuator")
-    if act_root is not None:
+    joint_body = {b.joint_names[i]: i for i in range(len(b.joint_names)) if b.joint_names[i]}
+    # dof index of a joint's first dof (mirrors finalize's joint_to_dof)
+    jdof = {}
+    d = 0
+    for i in range(len(b.body_parent)):
+        nvd = spec.vdim(b.jnt_type[i])
+        if b.joint_names[i] and b.joint_names[i] not in jdof:
+            jdof[b.joint_names[i]] = d
+        d += nvd
+    for act_root in root.findall("actuator"):
         for m in act_root:
             if m.tag not in ("motor", "general", "position", "velocity"):
                 continue
-            ma = defaults.resolve("motor", m.attrib, m.attrib.get("class", "__top__"))
+            ma = defaults.resolve(m.tag, m.attrib, m.attrib.get("class", "__top__"))
+            if m.tag != "motor":
+                # <position>/<general> defaults may live under the "general" tag
+                ga2 = defaults.resolve("general", m.attrib, m.attrib.get("class", "__top__"))
+                ga2.update(ma)
+                ma = ga2
             joint = ma.get("joint")
-            if joint is None:
+            if joint is None or joint not in jdof:
                 continue
             gear = float(_fv(ma.get("gear", "1"))[0])
-            ctrllimited = ma.get("ctrllimited", "false") in ("true", "1")
-            cr = None
-            if "ctrlrange" in ma and ctrllimited:
-                cr = _fv(ma["ctrlrange"], 2)
+            cr = _fv(ma["ctrlrange"], 2) if "ctrlrange" in ma else None
             b.add_actuator(joint, gear, cr, name=m.get("name", joint))
+            if m.tag == "position":
+                # kp becomes the PD drive stiffness of the dof; forcerange
+                # the effort clamp (PhysX maps MJCF position servos the
+                # same way -- reference shadow_hand.py drives these dofs
+                # with set_dof_position_target_tensor)
+                kp = float(ma.get("kp", 1.0))
+                di = jdof[joint]
+                b.dof_stiffness[di] = kp
+                if "forcerange" in ma:
+                    fr = _fv(ma["forcerange"], 2)
+                    b.dof_max_effort[di] = float(max(abs(fr[0]), abs(fr[1])))
+
+    # tendons: <fixed> joint couplings (ShadowHand distal-joint coupling)
+    for tr in root.findall("tendon"):
+        for fx in tr.findall("fixed"):
+            joints = []
+            for tj in fx.findall("joint"):
+                joints.append((tj.get("joint"), float(tj.get("coef", 1.0))))
+            rng = _fv(fx.get("range", "0 0"), 2)
+            b.add_tendon(fx.get("name", f"tendon{len(b.tendons)}"), joints, (rng[0], rng[1]))
 
     model = b.finalize()
 

@@ -38,6 +38,7 @@ GEOM_CAPSULE = 1
 GEOM_BOX = 2
 GEOM_CYLINDER = 3
 GEOM_PLANE = 4
+GEOM_MESH = 5
 
 _QDIM = {FREE: 7, HINGE: 1, SLIDE: 1, FIXED: 0}
 _VDIM = {FREE: 6, HINGE: 1, SLIDE: 1, FIXED: 0}
@@ -109,11 +110,25 @@ class Model:
     # replacement for broadphase between the few interacting actors)
     pair_geom_a: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     pair_geom_b: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # contact-point-vs-geom pairs: cpoint index vs geom index (used for
+    # hand-object style interactions where body A's candidate points act
+    # as spheres against body B's analytic geom)
+    ppair_point: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    ppair_geom: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # include candidate points vs the global ground plane (z=0)
+    plane_contacts: bool = struct.field(pytree_node=False, default=True)
     # bilateral point anchors (gymapi attractor equivalent,
     # reference ball_balance.py:305-320): body + local offset + world target
     att_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     att_offset: jax.Array = None  # (natt, 3)
     att_target: jax.Array = None  # (natt, 3)
+    # fixed tendons: linear joint couplings with limit springs
+    # (reference ShadowHand MJCF shared.xml tendon block; SURVEY.md 2.1)
+    tendon_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+    tendon_coef: jax.Array = None  # (nt, nv) coefficient rows
+    tendon_range: jax.Array = None  # (nt, 2)
+    tendon_stiffness: jax.Array = None  # (nt,) limit_stiffness
+    tendon_damping: jax.Array = None  # (nt,)
 
     @property
     def ngeom(self) -> int:
@@ -171,8 +186,11 @@ class ModelBuilder:
     geom_quat: list = dataclasses.field(default_factory=list)
     geom_size: list = dataclasses.field(default_factory=list)
     geom_friction: list = dataclasses.field(default_factory=list)
+    geom_mesh_points: list = dataclasses.field(default_factory=list)  # None or (k,3)
     qpos0_free: dict = dataclasses.field(default_factory=dict)  # body -> (pos, quat)
     qpos0_scalar: dict = dataclasses.field(default_factory=dict)  # body -> float
+    # tendons: (name, [(joint_name, coef), ...], (lo, hi))
+    tendons: list = dataclasses.field(default_factory=list)
 
     def add_body(
         self,
@@ -250,13 +268,22 @@ class ModelBuilder:
         self.body_ipos[idx] = _np(c)
         self.body_inertia[idx] = _np(shift(I0, m0, c0 - c) + shift(I1, m1, c1 - c))
 
-    def add_geom(self, body: int, gtype: int, pos, quat, size, friction: float):
+    def add_geom(
+        self, body: int, gtype: int, pos, quat, size, friction: float,
+        mesh_points=None,
+    ):
         self.geom_body.append(body)
         self.geom_type.append(gtype)
         self.geom_pos.append(_np(pos))
         self.geom_quat.append(_np(quat))
         self.geom_size.append(_np(size))
         self.geom_friction.append(float(friction))
+        self.geom_mesh_points.append(
+            _np(mesh_points) if mesh_points is not None else None
+        )
+
+    def add_tendon(self, name: str, joints, rng):
+        self.tendons.append((name, list(joints), tuple(rng)))
 
     def add_actuator(self, joint_name: str, gear: float, ctrl_range, name: str = ""):
         self.actuator_joint.append(joint_name)
@@ -313,7 +340,12 @@ class ModelBuilder:
             fric = self.geom_friction[g]
             body = self.geom_body[g]
             pts_local, rads = [], []
-            if gt == GEOM_SPHERE:
+            if gt == GEOM_MESH:
+                mp = self.geom_mesh_points[g]
+                if mp is not None:
+                    pts_local = [np.asarray(p) for p in mp]
+                    rads = [0.0] * len(pts_local)
+            elif gt == GEOM_SPHERE:
                 pts_local = [np.zeros(3)]
                 rads = [size[0]]
             elif gt == GEOM_CAPSULE:
@@ -349,6 +381,19 @@ class ModelBuilder:
             cp_pos = [np.zeros(3, np.float32)]
             cp_rad = [0.0]
             cp_fric = [1.0]
+
+        # tendons -> coefficient rows over dofs
+        nt = len(self.tendons)
+        tendon_coef = np.zeros((nt, nv), np.float32)
+        tendon_range = np.zeros((nt, 2), np.float32)
+        tendon_names = []
+        for t, (tname, tjoints, trng) in enumerate(self.tendons):
+            tendon_names.append(tname)
+            tendon_range[t] = trng
+            for jn, coef in tjoints:
+                if jn not in joint_to_dof:
+                    raise ValueError(f"tendon {tname} references unknown joint {jn}")
+                tendon_coef[t, joint_to_dof[jn]] = coef
 
         f32 = jnp.float32
         return Model(
@@ -413,6 +458,11 @@ class ModelBuilder:
             qpos0=jnp.asarray(qpos0, f32),
             att_offset=jnp.zeros((0, 3), f32),
             att_target=jnp.zeros((0, 3), f32),
+            tendon_names=tuple(tendon_names),
+            tendon_coef=jnp.asarray(tendon_coef),
+            tendon_range=jnp.asarray(tendon_range),
+            tendon_stiffness=jnp.zeros(nt, f32),
+            tendon_damping=jnp.zeros(nt, f32),
         )
 
 

@@ -181,6 +181,14 @@ def parse_urdf(
         mass, com, inertia = 0.0, np.zeros(3), np.zeros((3, 3))
         if inertial is not None:
             mass = float(inertial.find("mass").get("value")) if inertial.find("mass") is not None else 0.0
+            dens_el = inertial.find("density")
+            if mass == 0.0 and dens_el is not None:
+                # Isaac Gym extension: <density value=.../> derives mass
+                # from collision volume (e.g. objects/cube_multicolor.urdf)
+                density = float(dens_el.get("value", 1000.0))
+                for gtype, gpos, gquat, gsize in geoms:
+                    m_u, _ = _geom_inertia_unit_density(gtype, gsize)
+                    mass += m_u * density
             com, com_quat = _origin(inertial.find("origin"))
             it = inertial.find("inertia")
             if it is not None:

@@ -15,6 +15,7 @@ from .cartpole import Cartpole
 from .humanoid import Humanoid
 from .ingenuity import Ingenuity
 from .quadcopter import Quadcopter
+from .shadow_hand import ShadowHand
 
 task_map: Dict[str, Type[VecTask]] = {
     "Cartpole": Cartpole,
@@ -24,6 +25,7 @@ task_map: Dict[str, Type[VecTask]] = {
     "Humanoid": Humanoid,
     "Ingenuity": Ingenuity,
     "Quadcopter": Quadcopter,
+    "ShadowHand": ShadowHand,
 }
 
 

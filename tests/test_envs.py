@@ -27,6 +27,7 @@ def make(name, num_envs=8, **env_kw):
         ("BallBalance", 24, 3),
         ("Ingenuity", 13, 6),
         ("Quadcopter", 21, 12),
+        ("ShadowHand", 211, 20),
     ],
 )
 def test_env_contract(name, num_obs, num_acts):
