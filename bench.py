@@ -26,7 +26,7 @@ def main():
     from isaacgymenvs_tpu.tasks import task_map
 
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    horizon = int(os.environ.get("BENCH_HORIZON", 64))
+    horizon = int(os.environ.get("BENCH_HORIZON", 16))
     cfg = {
         "env": {"numEnvs": num_envs, "clipActions": 1.0},
         "sim": {"dt": 1 / 60, "substeps": 2},
@@ -53,7 +53,7 @@ def main():
     jax.block_until_ready(rews)
 
     t0 = time.perf_counter()
-    reps = 3
+    reps = 8
     for _ in range(reps):
         state, rews = run(state, key)
     jax.block_until_ready(rews)

@@ -44,6 +44,17 @@ from ..model.spec import (
 from .dynamics import Kin, SimParams
 
 
+def num_constraints(model: Model) -> int:
+    """Static total constraint-row groups for this model."""
+    n = 0
+    if model.ncp and model.plane_contacts:
+        n += model.ncp
+    n += len(model.pair_geom_a)
+    n += len(model.ppair_point)
+    n += len(model.att_body)
+    return n
+
+
 class ConstraintData(NamedTuple):
     J: jax.Array  # (nc, 3, nv) rows: (t1, t2, n) relative-velocity Jacobian
     phi: jax.Array  # (nc,) penetration depth (>0 penetrating); 0 for bilateral
@@ -303,43 +314,80 @@ def solve_contacts(
     qd_free: jax.Array,
     h,
     params: SimParams,
+    warm: jax.Array | None = None,
 ) -> SolveOut:
     """Impulse solve over the assembled constraint rows: velocity-level QP
     min 1/2 lam^T A lam + lam^T b over the product of friction cones
-    (x R^3 for bilateral rows), A = J M^{-1} J^T. See module docstring."""
-    nc = con.J.shape[0]
+    (x R^3 for bilateral rows), A = J M^{-1} J^T. See module docstring.
+
+    If params.max_active_contacts in (0, ncon): only the top-K most-
+    penetrating rows (bilateral rows always included) enter the Delassus
+    system -- the TPU-shaped analogue of narrowphase culling. Static
+    shapes, branch-free gather/scatter. `warm` (ncon, 3) warm-starts the
+    iterative solver with the previous substep's impulses.
+    """
+    nc_full = con.J.shape[0]
     nv = con.J.shape[2]
-    Jf = con.J.reshape(nc * 3, nv)
+    cap = params.max_active_contacts
+    active_full = con.active & (
+        (con.phi > -params.contact_margin) | (con.bilateral > 0)
+    )
+
+    if cap and cap < nc_full:
+        # selection key: bilateral rows always win, then deepest contacts
+        key = jnp.where(con.bilateral > 0, jnp.inf, con.phi)
+        key = jnp.where(active_full, key, -jnp.inf)
+        _, sel = jax.lax.top_k(key, cap)
+        J = con.J[sel]
+        phi = con.phi[sel]
+        err = con.err[sel]
+        mu = con.mu[sel]
+        bilateral = con.bilateral[sel]
+        active = active_full[sel]
+        frame = con.frame[sel]
+        warm_sel = warm[sel] if warm is not None else None
+    else:
+        sel = None
+        J, phi, err, mu = con.J, con.phi, con.err, con.mu
+        bilateral, active, frame = con.bilateral, active_full, con.frame
+        warm_sel = warm
+
+    nc = J.shape[0]
+    Jf = J.reshape(nc * 3, nv)
     MinvJT = minv_mul(Jf.T)  # (nv, 3*nc)
     A = Jf @ MinvJT + 1e-6 * jnp.eye(nc * 3)
     b = (Jf @ qd_free).reshape(nc, 3)
 
-    active = con.active & (
-        (con.phi > -params.contact_margin) | (con.bilateral > 0)
-    )
     # Baumgarte: push out at erp*phi/h, capped (max_depenetration_velocity)
     vn_target = jnp.minimum(
-        params.baumgarte_erp * jnp.maximum(con.phi, 0.0) / h,
+        params.baumgarte_erp * jnp.maximum(phi, 0.0) / h,
         params.max_depenetration_velocity,
     )
     b = b.at[:, 2].add(-vn_target)
     # bilateral anchors: drive the full 3D error to zero
-    v_err = jnp.einsum(
-        "cij,cj->ci", con.frame, con.err
-    ) * (params.baumgarte_erp_attractor / h)
-    b = b - v_err * con.bilateral[:, None]
+    v_err = jnp.einsum("cij,cj->ci", frame, err) * (
+        params.baumgarte_erp_attractor / h
+    )
+    b = b - v_err * bilateral[:, None]
 
     if params.solver == "apgd":
-        lam = _solve_apgd(A, b, con.mu, active, con.bilateral, params)
+        lam = _solve_apgd(A, b, mu, active, bilateral, params, warm_sel)
     else:
-        lam = _solve_pgs(A, b, con.mu, active, con.bilateral, params)
+        lam = _solve_pgs(A, b, mu, active, bilateral, params)
 
     lam_flat = lam.reshape(nc * 3)
     qd = qd_free + MinvJT @ lam_flat
-    return SolveOut(qd=qd, impulse=lam, x=con.x, qfrc=Jf.T @ lam_flat)
+    qfrc = Jf.T @ lam_flat
+    if sel is not None:
+        impulse = jnp.zeros((nc_full, 3)).at[sel].set(lam)
+    else:
+        impulse = lam
+    return SolveOut(qd=qd, impulse=impulse, x=con.x, qfrc=qfrc)
 
 
-def _solve_apgd(A, b, mu, active, bilateral, params: SimParams) -> jax.Array:
+def _solve_apgd(
+    A, b, mu, active, bilateral, params: SimParams, warm=None
+) -> jax.Array:
     nc = b.shape[0]
     n = nc * 3
     bf = b.reshape(n)
@@ -365,7 +413,10 @@ def _solve_apgd(A, b, mu, active, bilateral, params: SimParams) -> jax.Array:
         y = lam_new + beta * (lam_new - lam)
         return (lam_new, y), None
 
-    lam0 = jnp.zeros(n)
+    if warm is None:
+        lam0 = jnp.zeros(n)
+    else:
+        lam0 = _project(warm, mu, active, bilateral).reshape(n)
     (lam, _), _ = jax.lax.scan(it, (lam0, lam0), betas)
     return lam.reshape(nc, 3)
 

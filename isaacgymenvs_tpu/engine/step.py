@@ -58,7 +58,7 @@ def physics_step(
     h = params.dt / n_slices
 
     def substep(carry, _):
-        q, qd = carry
+        q, qd, warm = carry
         kin = _dyn.forward_kinematics(model, q, qd, meta)
         f_ext = jnp.zeros((model.nbody, 6)) if xfrc is None else xfrc
         qdd, minv_mul, _ = _dyn.forward_dynamics(
@@ -67,13 +67,17 @@ def physics_step(
         )
         qd_free = qd + h * qdd
         con = _contacts.constraint_data(model, kin, anc, plane_friction)
-        sol = _contacts.solve_contacts(model, con, minv_mul, qd_free, h, params)
+        sol = _contacts.solve_contacts(
+            model, con, minv_mul, qd_free, h, params, warm=warm
+        )
         bf, bt = _contacts.accumulate_body_wrench(model, con, sol, kin, h)
         q2 = _dyn.integrate_positions(model, q, sol.qd, h, meta)
-        return (q2, sol.qd), (bf, bt, sol.qfrc / h)
+        return (q2, sol.qd, sol.impulse), (bf, bt, sol.qfrc / h)
 
-    (q, qd), (bf, bt, qf) = jax.lax.scan(
-        substep, (state.q, state.qd), None, length=n_slices
+    ncon = _contacts.num_constraints(model)
+    warm0 = jnp.zeros((ncon, 3))
+    (q, qd, _), (bf, bt, qf) = jax.lax.scan(
+        substep, (state.q, state.qd, warm0), None, length=n_slices
     )
     kin = _dyn.forward_kinematics(model, q, qd, meta)
     return StepOut(

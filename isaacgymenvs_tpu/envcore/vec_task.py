@@ -139,12 +139,13 @@ class VecTask:
             dt=float(sim.get("dt", 1.0 / 60.0)),
             substeps=int(sim.get("substeps", 2)),
             solver_pgs_iterations=int(physx.get("num_position_iterations", 4)) * 2,
-            solver_apgd_iterations=int(physx.get("num_position_iterations", 4)) * 8,
+            solver_apgd_iterations=int(physx.get("num_position_iterations", 4)) * 4,
             gravity=jnp.asarray(sim.get("gravity", [0.0, 0.0, -9.81]), jnp.float32),
             max_depenetration_velocity=float(
                 physx.get("max_depenetration_velocity", 10.0)
             ),
             contact_margin=float(physx.get("contact_offset", 0.02)),
+            max_active_contacts=int(physx.get("max_active_contacts", 0)),
         )
 
     def qfrc_from_actuators(self, action: jax.Array) -> jax.Array:
