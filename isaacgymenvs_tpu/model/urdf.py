@@ -14,6 +14,7 @@ Behavioral notes mirroring the reference engine:
 """
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -25,12 +26,24 @@ from .spec import (
     GEOM_BOX,
     GEOM_CAPSULE,
     GEOM_CYLINDER,
+    GEOM_MESH,
     GEOM_SPHERE,
     HINGE,
     SLIDE,
     Model,
     ModelBuilder,
 )
+
+
+def _load_obj_vertices(path: str, scale) -> np.ndarray:
+    """Wavefront OBJ -> vertex array (V, 3) * scale."""
+    verts = []
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if line.startswith("v "):
+                t = line.split()
+                verts.append([float(t[1]), float(t[2]), float(t[3])])
+    return np.asarray(verts, np.float64) * scale
 
 _JOINT_MAP = {
     "revolute": HINGE,
@@ -71,32 +84,68 @@ def _origin(elem):
     return xyz, _quat_from_rpy(rpy)
 
 
-def _parse_geometry(geo_elem):
-    """Returns (gtype, size3) or None for unsupported (mesh) geometry."""
+def _parse_geometry(geo_elem, mesh_dirs=()):
+    """Returns (gtype, size3, mesh_points) or None for unsupported geometry.
+
+    Meshes (OBJ/STL) become GEOM_MESH with AABB half-extent size + a
+    farthest-point vertex subsample as contact candidates (mirroring the
+    MJCF mesh path)."""
     if geo_elem is None:
         return None
+    mesh = geo_elem.find("mesh")
+    if mesh is not None:
+        fname = mesh.get("filename", "")
+        scale_attr = mesh.get("scale", "1 1 1")
+        scale = _fv(scale_attr)
+        if scale.size == 1:
+            scale = np.repeat(scale, 3)
+        verts = None
+        for d in mesh_dirs:
+            path = os.path.join(d, fname)
+            if os.path.exists(path):
+                try:
+                    if fname.lower().endswith(".obj"):
+                        verts = _load_obj_vertices(path, scale)
+                    elif fname.lower().endswith(".stl"):
+                        from .mjcf import _load_stl
+
+                        verts = _load_stl(path, scale)
+                except Exception:
+                    verts = None
+                break
+        if verts is None or len(verts) == 0:
+            return None
+        from .mjcf import _farthest_points
+
+        lo, hi = verts.min(0), verts.max(0)
+        center = (hi + lo) / 2.0
+        half = np.maximum((hi - lo) / 2.0, 1e-5)
+        pts = _farthest_points(verts, 4) - center
+        return GEOM_MESH, half, (center, pts)
     box = geo_elem.find("box")
     if box is not None:
         full = _fv(box.get("size"), 3)
-        return GEOM_BOX, full / 2.0
+        return GEOM_BOX, full / 2.0, None
     sph = geo_elem.find("sphere")
     if sph is not None:
         r = float(sph.get("radius"))
-        return GEOM_SPHERE, np.array([r, 0, 0])
+        return GEOM_SPHERE, np.array([r, 0, 0]), None
     cyl = geo_elem.find("cylinder")
     if cyl is not None:
         r = float(cyl.get("radius"))
         l = float(cyl.get("length"))
-        return GEOM_CYLINDER, np.array([r, l / 2.0, 0])
+        return GEOM_CYLINDER, np.array([r, l / 2.0, 0]), None
     cap = geo_elem.find("capsule")
     if cap is not None:
         r = float(cap.get("radius"))
         l = float(cap.get("length"))
-        return GEOM_CAPSULE, np.array([r, l / 2.0, 0])
-    return None  # mesh etc.
+        return GEOM_CAPSULE, np.array([r, l / 2.0, 0]), None
+    return None
 
 
 def _geom_inertia_unit_density(gtype, size):
+    if gtype == GEOM_MESH:
+        return spec.box_inertia(1.0, size)
     if gtype == GEOM_SPHERE:
         return spec.sphere_inertia(1.0, size[0])
     if gtype == GEOM_CAPSULE:
@@ -138,11 +187,16 @@ def load_urdf(
     collapse_fixed: bool = False,
 ) -> Model:
     root = ET.parse(path).getroot()
+    d = os.path.dirname(os.path.abspath(path))
+    # mesh path resolution candidates: urdf dir, its parents (IsaacGym
+    # resolves relative to the asset root)
+    mesh_dirs = (d, os.path.dirname(d), os.path.dirname(os.path.dirname(d)))
     return parse_urdf(
         root,
         fix_base=fix_base,
         default_friction=default_friction,
         collapse_fixed=collapse_fixed,
+        mesh_dirs=mesh_dirs,
     )
 
 
@@ -151,6 +205,7 @@ def parse_urdf(
     fix_base: bool = False,
     default_friction: float = 1.0,
     collapse_fixed: bool = False,
+    mesh_dirs=(),
 ) -> Model:
     links = {l.get("name"): l for l in root.findall("link")}
     joints = list(root.findall("joint"))
@@ -172,11 +227,19 @@ def parse_urdf(
         """mass, com, inertia(3x3 about com, link frame), geoms list."""
         geoms = []
         for col in link_elem.findall("collision"):
-            g = _parse_geometry(col.find("geometry"))
+            g = _parse_geometry(col.find("geometry"), mesh_dirs)
             if g is None:
                 continue
             gpos, gquat = _origin(col.find("origin"))
-            geoms.append((g[0], gpos, gquat, g[1]))
+            gtype, gsize, meshinfo = g
+            mesh_pts = None
+            if meshinfo is not None:
+                center, mesh_pts = meshinfo
+                # shift geom frame to the mesh AABB center
+                from .mjcf import _quat_rot_xyzw as _qr
+
+                gpos = gpos + _qr(gquat, center)
+            geoms.append((gtype, gpos, gquat, gsize, mesh_pts))
         inertial = link_elem.find("inertial")
         mass, com, inertia = 0.0, np.zeros(3), np.zeros((3, 3))
         if inertial is not None:
@@ -186,7 +249,7 @@ def parse_urdf(
                 # Isaac Gym extension: <density value=.../> derives mass
                 # from collision volume (e.g. objects/cube_multicolor.urdf)
                 density = float(dens_el.get("value", 1000.0))
-                for gtype, gpos, gquat, gsize in geoms:
+                for gtype, gpos, gquat, gsize, _mp in geoms:
                     m_u, _ = _geom_inertia_unit_density(gtype, gsize)
                     mass += m_u * density
             com, com_quat = _origin(inertial.find("origin"))
@@ -202,12 +265,12 @@ def parse_urdf(
             if np.allclose(inertia, 0.0) and mass > 0 and geoms:
                 # derive rotational inertia from collision shapes at given mass
                 unit_m, total = 0.0, np.zeros((3, 3))
-                for gtype, gpos, gquat, gsize in geoms:
+                for gtype, gpos, gquat, gsize, _mp in geoms:
                     m_u, i_u = _geom_inertia_unit_density(gtype, gsize)
                     unit_m += m_u
                 scale = mass / max(unit_m, 1e-12)
                 # compute about the link's inertial com
-                for gtype, gpos, gquat, gsize in geoms:
+                for gtype, gpos, gquat, gsize, _mp in geoms:
                     m_u, i_u = _geom_inertia_unit_density(gtype, gsize)
                     m_g = m_u * scale
                     from .mjcf import _quat_to_mat_xyzw
@@ -245,7 +308,7 @@ def parse_urdf(
                     new_pos + _np_quat_rot(new_quat, com),
                     R @ inertia @ R.T,
                 )
-            for gtype, gpos, gquat, gsize in geoms:
+            for gtype, gpos, gquat, gsize, mp in geoms:
                 b.add_geom(
                     parent_idx,
                     gtype,
@@ -253,6 +316,7 @@ def parse_urdf(
                     _np_quat_mul(new_quat, gquat),
                     gsize,
                     default_friction,
+                    mesh_points=mp,
                 )
             for child_joint in children_of.get(link_name, []):
                 add_link(
@@ -310,8 +374,8 @@ def parse_urdf(
             max_effort=max_eff,
             max_velocity=max_vel,
         )
-        for gtype, gpos, gquat, gsize in geoms:
-            b.add_geom(idx, gtype, gpos, gquat, gsize, default_friction)
+        for gtype, gpos, gquat, gsize, mp in geoms:
+            b.add_geom(idx, gtype, gpos, gquat, gsize, default_friction, mesh_points=mp)
         for child_joint in children_of.get(link_name, []):
             add_link(child_joint.find("child").get("link"), idx, child_joint)
 

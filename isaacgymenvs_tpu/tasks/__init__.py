@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Dict, Type
 
 from ..envcore.vec_task import VecTask
+from .allegro_hand import AllegroHand
 from .ant import Ant
 from .anymal import Anymal
 from .ball_balance import BallBalance
@@ -18,6 +19,7 @@ from .quadcopter import Quadcopter
 from .shadow_hand import ShadowHand
 
 task_map: Dict[str, Type[VecTask]] = {
+    "AllegroHand": AllegroHand,
     "Cartpole": Cartpole,
     "Ant": Ant,
     "BallBalance": BallBalance,

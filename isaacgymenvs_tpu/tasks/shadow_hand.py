@@ -39,6 +39,10 @@ def randomize_rotation(rand0, rand1):
 
 class ShadowHand(VecTask):
     use_pd_targets = True
+    fingertip_names = (
+        "robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
+        "robot0:lfdistal", "robot0:thdistal",
+    )
 
     def __init__(self, cfg):
         env = cfg["env"]
@@ -161,10 +165,8 @@ class ShadowHand(VecTask):
         self.obj_v = m.v_adr[oref.body0]
         self.obj_body = oref.body0
         # fingertips (reference fingertips list :120)
-        tips = ["robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
-                "robot0:lfdistal", "robot0:thdistal"]
         self.fingertip_bodies = jnp.asarray(
-            [m.body_names.index(t) for t in tips]
+            [m.body_names.index(t) for t in self.fingertip_names]
         )
         # start poses (shadow_hand.py:404-418)
         self.object_start_pos = jnp.array([0.0, -0.39, 0.6])

@@ -28,6 +28,7 @@ def make(name, num_envs=8, **env_kw):
         ("Ingenuity", 13, 6),
         ("Quadcopter", 21, 12),
         ("ShadowHand", 211, 20),
+        ("AllegroHand", 88, 16),
     ],
 )
 def test_env_contract(name, num_obs, num_acts):
