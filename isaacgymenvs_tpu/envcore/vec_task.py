@@ -254,6 +254,22 @@ class VecTask:
         )
         return state, jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
+    def states_of(self, state: EnvState) -> jax.Array:
+        """Privileged states for the CURRENT env state (asymmetric critic
+        bootstrap; sensors unavailable outside the step, passed as zeros)."""
+        n = self.num_envs
+        q, qd = state.sim.q, state.sim.qd
+        sensors = Sensors(
+            body_force=jnp.zeros((n, self.model.nbody, 3)),
+            body_torque=jnp.zeros((n, self.model.nbody, 3)),
+            dof_force=jnp.zeros((n, self.model.nv)),
+        )
+        kin = jax.vmap(lambda qq, qv: _dyn.forward_kinematics(self.model, qq, qv))(q, qd)
+        states = jax.vmap(self.observe_state)(
+            q, qd, kin, sensors, state.task, state.actions, state.progress
+        )
+        return jnp.clip(states, -self.clip_obs, self.clip_obs)
+
     def step(
         self, state: EnvState, actions: jax.Array
     ) -> Tuple[EnvState, jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:

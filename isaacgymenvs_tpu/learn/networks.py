@@ -73,3 +73,17 @@ class ActorCritic(nn.Module):
         )
         log_sigma = jnp.broadcast_to(log_sigma, mu.shape)
         return mu, log_sigma, value
+
+
+class CriticNet(nn.Module):
+    """Standalone value network on privileged states -- the asymmetric
+    central value net (rl_games central_value_config, e.g. reference
+    cfg/train/ShadowHandPPOAsymm.yaml:73-90)."""
+
+    units: Sequence[int] = (256, 128, 64)
+    act: str = "elu"
+
+    @nn.compact
+    def __call__(self, states) -> jax.Array:
+        x = MLP(self.units, self.act, name="cv_mlp")(states)
+        return nn.Dense(1, name="value")(x)[..., 0]

@@ -32,7 +32,7 @@ import optax
 from flax import struct
 
 from ..envcore.vec_task import EnvState, VecTask
-from .networks import ActorCritic
+from .networks import ActorCritic, CriticNet
 from .running_stats import (
     RunningMeanStd,
     rms_denormalize,
@@ -116,11 +116,14 @@ class PPOTrainState:
     key: jax.Array
     ep_return: jax.Array  # (N,) running episode return (raw rewards)
     ep_len: jax.Array  # (N,)
+    states: Any = None  # (N, num_states) privileged state (asym critic)
+    state_rms: Any = None
 
 
 class Transition(NamedTuple):
     obs: jax.Array
     action: jax.Array
+    states: Any
     mu: jax.Array
     sigma: jax.Array
     logp: jax.Array
@@ -168,6 +171,18 @@ class PPO:
             separate=bool(net_cfg.get("separate", False)),
         )
         self.seed = seed
+        # asymmetric actor-critic: central value net on privileged states
+        # (rl_games central_value_config; reference common_agent.py:80-95)
+        self.use_central_value = bool(getattr(env, "num_states", 0))
+        if self.use_central_value:
+            cv_cfg = train_params.get("config", {}).get(
+                "central_value_config", {}
+            )
+            cv_mlp = cv_cfg.get("network", {}).get("mlp", {})
+            self.central_net = CriticNet(
+                units=tuple(cv_mlp.get("units", mlp.get("units", (256, 128, 64)))),
+                act=str(cv_mlp.get("activation", "elu")),
+            )
         self.batch_size = self.cfg.horizon_length * env.num_envs
         self.minibatch_size = min(self.cfg.minibatch_size, self.batch_size)
         assert self.batch_size % self.minibatch_size == 0, (
@@ -189,10 +204,16 @@ class PPO:
     # ------------------------------------------------------------------
     def init(self, key=None) -> PPOTrainState:
         key = jax.random.PRNGKey(self.seed) if key is None else key
-        key, knet, kenv = jax.random.split(key, 3)
+        key, knet, kcv, kenv = jax.random.split(key, 4)
         env_state, obs = self.env.reset(kenv)
-        params = self.network.init(knet, obs[:1])
+        params = {"policy": self.network.init(knet, obs[:1])}
         n = self.env.num_envs
+        states = None
+        state_rms = None
+        if self.use_central_value:
+            states = self.env.states_of(env_state)
+            params["central"] = self.central_net.init(kcv, states[:1])
+            state_rms = RunningMeanStd.create((self.env.num_states,))
         return PPOTrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -204,21 +225,40 @@ class PPO:
             key=key,
             ep_return=jnp.zeros(n),
             ep_len=jnp.zeros(n, jnp.int32),
+            states=states,
+            state_rms=state_rms,
         )
 
     # ------------------------------------------------------------------
     def _norm_obs(self, rms, obs):
         return rms_normalize(rms, obs) if self.cfg.normalize_input else obs
 
+    def _value_of(self, ts, params, nobs, nstates):
+        """Critic value (normalized space): central net on privileged
+        states when asymmetric, otherwise the policy's value head."""
+        if self.use_central_value:
+            return self.central_net.apply(params["central"], nstates)
+        _, _, v = self.network.apply(params["policy"], nobs)
+        return v
+
+    def _norm_states(self, rms, states):
+        if states is None:
+            return None
+        return rms_normalize(rms, states) if self.cfg.normalize_input else states
+
     def rollout(self, ts: PPOTrainState):
         cfg = self.cfg
 
         def step_fn(carry, _):
-            env_state, obs, obs_rms, ep_ret, ep_len, key = carry
+            env_state, obs, states, obs_rms, state_rms, ep_ret, ep_len, key = carry
             if cfg.normalize_input:
                 obs_rms = rms_update(obs_rms, obs)
+                if self.use_central_value:
+                    state_rms = rms_update(state_rms, states)
             nobs = self._norm_obs(obs_rms, obs)
-            mu, log_sigma, v_norm = self.network.apply(ts.params, nobs)
+            nstates = self._norm_states(state_rms, states)
+            mu, log_sigma, _ = self.network.apply(ts.params["policy"], nobs)
+            v_norm = self._value_of(ts, ts.params, nobs, nstates)
             value = (
                 rms_denormalize(ts.value_rms, v_norm)
                 if cfg.normalize_value
@@ -232,6 +272,7 @@ class PPO:
             env_state, next_obs, reward, done, extras = self.env.step(
                 env_state, action
             )
+            next_states = extras.get("states") if self.use_central_value else None
             shaped = reward * cfg.reward_scale
             if cfg.value_bootstrap:
                 shaped = shaped + cfg.gamma * value * extras["time_outs"]
@@ -241,6 +282,7 @@ class PPO:
             t = Transition(
                 obs=obs,
                 action=action,
+                states=states if self.use_central_value else 0.0,
                 mu=mu,
                 sigma=log_sigma,
                 logp=logp,
@@ -253,22 +295,31 @@ class PPO:
             )
             ep_ret = jnp.where(done, 0.0, ep_ret)
             ep_len = jnp.where(done, 0, ep_len)
-            return (env_state, next_obs, obs_rms, ep_ret, ep_len, key), t
+            return (
+                env_state, next_obs, next_states, obs_rms, state_rms,
+                ep_ret, ep_len, key,
+            ), t
 
-        carry = (ts.env_state, ts.obs, ts.obs_rms, ts.ep_return, ts.ep_len, ts.key)
+        carry = (
+            ts.env_state, ts.obs, ts.states, ts.obs_rms, ts.state_rms,
+            ts.ep_return, ts.ep_len, ts.key,
+        )
         carry, traj = jax.lax.scan(step_fn, carry, None, length=cfg.horizon_length)
-        env_state, obs, obs_rms, ep_ret, ep_len, key = carry
+        env_state, obs, states, obs_rms, state_rms, ep_ret, ep_len, key = carry
         ts = ts.replace(
             env_state=env_state,
             obs=obs,
+            states=states,
             obs_rms=obs_rms,
+            state_rms=state_rms,
             ep_return=ep_ret,
             ep_len=ep_len,
             key=key,
         )
         # bootstrap value for the state after the last transition
         nobs = self._norm_obs(obs_rms, obs)
-        _, _, v_norm = self.network.apply(ts.params, nobs)
+        nstates = self._norm_states(state_rms, states)
+        v_norm = self._value_of(ts, ts.params, nobs, nstates)
         last_value = (
             rms_denormalize(ts.value_rms, v_norm) if cfg.normalize_value else v_norm
         )
@@ -299,8 +350,15 @@ class PPO:
     # ------------------------------------------------------------------
     def _loss(self, params, batch, value_rms, lr_unused=None):
         cfg = self.cfg
-        nobs, action, old_mu, old_log_sigma, old_logp, old_vnorm, adv, ret_norm = batch
-        mu, log_sigma, v_norm = self.network.apply(params, nobs)
+        (
+            nobs, nstates, action, old_mu, old_log_sigma, old_logp,
+            old_vnorm, adv, ret_norm,
+        ) = batch
+        mu, log_sigma, v_pol = self.network.apply(params["policy"], nobs)
+        if self.use_central_value:
+            v_norm = self.central_net.apply(params["central"], nstates)
+        else:
+            v_norm = v_pol
         logp = _gaussian_logp(action, mu, log_sigma)
         ratio = jnp.exp(logp - old_logp)
         surr1 = adv * ratio
@@ -374,8 +432,13 @@ class PPO:
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
 
         nobs_all = flat(self._norm_obs(ts.obs_rms, traj.obs))
+        if self.use_central_value:
+            nstates_all = flat(self._norm_states(ts.state_rms, traj.states))
+        else:
+            nstates_all = jnp.zeros((B, 1))
         dataset = (
             nobs_all,
+            nstates_all,
             flat(traj.action),
             flat(traj.mu),
             flat(traj.sigma),
@@ -448,10 +511,14 @@ class PPO:
                 "params": ts.params,
                 "obs_rms": ts.obs_rms,
                 "value_rms": ts.value_rms,
+                "state_rms": ts.state_rms,
                 "lr": ts.lr,
                 "opt_state": ts.opt_state,
                 "epoch": epoch,
                 "frames": frames,
+                # env-side curriculum / task state round-trips with the
+                # checkpoint (get_env_state contract, SURVEY.md 5.4)
+                "env_task_state": ts.env_state.task,
             },
         )
 
@@ -466,12 +533,14 @@ class PPO:
             lr=jax.device_put(ck["lr"]),
             opt_state=jax.device_put(ck["opt_state"]),
         )
+        if ck.get("state_rms") is not None:
+            ts = ts.replace(state_rms=jax.device_put(ck["state_rms"]))
         return ts, int(ck.get("epoch", 0))
 
     def act(self, ts: PPOTrainState, obs, deterministic: bool = True, key=None):
         """Policy action for eval/play (CommonPlayer.get_action semantics)."""
         nobs = self._norm_obs(ts.obs_rms, obs)
-        mu, log_sigma, _ = self.network.apply(ts.params, nobs)
+        mu, log_sigma, _ = self.network.apply(ts.params["policy"], nobs)
         if deterministic:
             return mu
         return mu + jnp.exp(log_sigma) * jax.random.normal(key, mu.shape)
@@ -514,6 +583,7 @@ class PPO:
         train_dir: str | None = None,
         name: str = "run",
         save_best_after: int = 100,
+        logger=None,
     ) -> Tuple[PPOTrainState, Dict[str, float]]:
         """Host training loop. Returns final state + last metrics."""
         cfg = self.cfg
@@ -551,6 +621,27 @@ class PPO:
                 "fps": steps_per_epoch / dt_epoch,
                 "time": time.time() - t_start,
             }
+            if logger is not None:
+                frames = epoch * steps_per_epoch
+                logger.log(
+                    {
+                        # rl_games scalar names (reference writer layout)
+                        "rewards/frame": mean_ret,
+                        "rewards/iter": mean_ret,
+                        "episode_lengths/frame": (
+                            float(metrics["ep_len_sum"]) / max(n_eps, 1)
+                        ),
+                        "losses/a_loss": last_metrics["a_loss"],
+                        "losses/c_loss": last_metrics["c_loss"],
+                        "losses/entropy": last_metrics["entropy"],
+                        "losses/bounds_loss": last_metrics["b_loss"],
+                        "info/last_lr": last_metrics["lr"],
+                        "info/kl": last_metrics["kl"],
+                        "performance/total_fps": last_metrics["fps"],
+                        "performance/step_fps": last_metrics["fps"],
+                    },
+                    frames,
+                )
             if on_epoch is not None:
                 on_epoch(ts, last_metrics)
             elif epoch % log_every == 0 or epoch == 1:

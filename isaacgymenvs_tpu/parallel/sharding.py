@@ -51,6 +51,11 @@ def env_state_sharding(env_state, mesh: Mesh):
         rng=rep,
         actions=env_ax,
         task=_tree_of(env_state.task, env_ax),
+        dr=_tree_of(env_state.dr, env_ax),
+        randomize_buf=(
+            env_ax if env_state.randomize_buf is not None else None
+        ),
+        frames=rep if env_state.frames is not None else None,
     )
 
 
@@ -69,6 +74,8 @@ def train_state_sharding(ts, mesh: Mesh):
         key=rep,
         ep_return=env_ax,
         ep_len=env_ax,
+        states=env_ax if ts.states is not None else None,
+        state_rms=_tree_of(ts.state_rms, rep),
     )
 
 

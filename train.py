@@ -53,12 +53,20 @@ def main(argv=None):
     )
 
     train_params = cfg.get("train", {}).get("params", {})
-    agent = PPO(env, train_params, seed=seed)
+    algo = str(train_params.get("algo", {}).get("name", "a2c_continuous"))
+    if algo == "sac":
+        from isaacgymenvs_tpu.learn import SAC
+
+        agent = SAC(env, train_params, seed=seed)
+    else:
+        agent = PPO(env, train_params, seed=seed)
 
     run_name = train_params.get("config", {}).get("name") or task_name
     checkpoint = str(cfg.get("checkpoint") or "") or None
 
     if cfg.get("test"):
+        if not hasattr(agent, "play"):
+            raise SystemExit(f"test mode not supported for algo {algo!r}")
         agent.play(checkpoint=checkpoint)
         return
 
@@ -74,13 +82,28 @@ def main(argv=None):
     save_best_after = int(
         train_params.get("config", {}).get("save_best_after", 100)
     )
-    agent.train(
-        max_epochs=int(max_iters) if max_iters else None,
-        checkpoint=checkpoint,
-        train_dir="runs",
-        name=run_name,
-        save_best_after=save_best_after,
-    )
+    from isaacgymenvs_tpu.utils.loggers import build_logger
+
+    logger = build_logger(cfg, run_name)
+    try:
+        if algo == "sac":
+            agent.train(
+                max_epochs=int(max_iters) if max_iters else None,
+                train_dir="runs",
+                name=run_name,
+                logger=logger,
+            )
+        else:
+            agent.train(
+                max_epochs=int(max_iters) if max_iters else None,
+                checkpoint=checkpoint,
+                train_dir="runs",
+                name=run_name,
+                save_best_after=save_best_after,
+                logger=logger,
+            )
+    finally:
+        logger.close()
 
 
 if __name__ == "__main__":
