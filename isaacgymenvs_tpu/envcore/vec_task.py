@@ -129,6 +129,11 @@ class VecTask:
         """Privileged state for asymmetric actor-critic (num_states > 0)."""
         raise NotImplementedError
 
+    def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
+        """Optional per-env extras (e.g. AMP observations). Receives the
+        task state BEFORE reward_done updates it. Return a dict of arrays."""
+        return None
+
     # ---- helpers shared by tasks --------------------------------------
     def sim_params_from_cfg(self) -> SimParams:
         """SimParams from the reference-schema `sim:` cfg block
@@ -365,6 +370,13 @@ class VecTask:
             obs = self.randomizer.observation_noise(kon, obs, frames)
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
+        # 4b. optional task extras on the pre-reward task state
+        task_extras = None
+        if type(self).extra_outputs is not VecTask.extra_outputs:
+            task_extras = jax.vmap(self.extra_outputs)(
+                q, qd, kin, sensors, task, actions, progress
+            )
+
         # 5. reward + new done flags
         reward, done, task = jax.vmap(self.reward_done)(
             obs, q, qd, kin, sensors, task, actions, progress
@@ -374,6 +386,8 @@ class VecTask:
         timeout = (progress >= self.max_episode_length - 1) & done
 
         extras = {"time_outs": timeout}
+        if task_extras is not None:
+            extras.update(task_extras)
         if self.num_states:
             states = jax.vmap(self.observe_state)(
                 q, qd, kin, sensors, task, actions, progress

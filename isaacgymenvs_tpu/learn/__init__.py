@@ -1,4 +1,5 @@
 from .networks import ActorCritic, CriticNet, MLP  # noqa: F401
+from .amp import AMPAgent  # noqa: F401
 from .ppo import PPO, PPOConfig, PPOTrainState  # noqa: F401
 from .replay_buffer import ReplayBuffer, buffer_add_batch, buffer_sample  # noqa: F401
 from .sac import SAC, SACConfig  # noqa: F401

@@ -56,6 +56,7 @@ class ActorCritic(nn.Module):
     d2rl: bool = False
     sigma_init: float = 0.0  # const_initializer val (AntPPO.yaml:21-22)
     separate: bool = False
+    learn_sigma: bool = True  # False -> fixed log-std (AMP configs)
 
     @nn.compact
     def __call__(self, obs) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -66,11 +67,14 @@ class ActorCritic(nn.Module):
             ctrunk = trunk
         mu = nn.Dense(self.num_actions, name="mu")(trunk)
         value = nn.Dense(1, name="value")(ctrunk)[..., 0]
-        log_sigma = self.param(
-            "log_sigma",
-            nn.initializers.constant(self.sigma_init),
-            (self.num_actions,),
-        )
+        if self.learn_sigma:
+            log_sigma = self.param(
+                "log_sigma",
+                nn.initializers.constant(self.sigma_init),
+                (self.num_actions,),
+            )
+        else:
+            log_sigma = jnp.full((self.num_actions,), self.sigma_init)
         log_sigma = jnp.broadcast_to(log_sigma, mu.shape)
         return mu, log_sigma, value
 

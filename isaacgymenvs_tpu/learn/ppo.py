@@ -124,6 +124,7 @@ class Transition(NamedTuple):
     obs: jax.Array
     action: jax.Array
     states: Any
+    extras: Any
     mu: jax.Array
     sigma: jax.Array
     logp: jax.Array
@@ -156,6 +157,9 @@ def _policy_kl(mu0, log_s0, mu1, log_s1):
 class PPO:
     """PPO trainer bound to a VecTask env."""
 
+    # env-extras keys captured into the rollout (e.g. AMP observations)
+    capture_extras: tuple = ()
+
     def __init__(self, env: VecTask, train_params: Dict[str, Any], seed: int = 0):
         self.env = env
         self.cfg = PPOConfig.from_train_cfg(train_params)
@@ -169,6 +173,7 @@ class PPO:
             d2rl=bool(mlp.get("d2rl", False)),
             sigma_init=float(space.get("sigma_init", {}).get("val", 0.0)),
             separate=bool(net_cfg.get("separate", False)),
+            learn_sigma=bool(space.get("learn_sigma", True)),
         )
         self.seed = seed
         # asymmetric actor-critic: central value net on privileged states
@@ -273,6 +278,7 @@ class PPO:
                 env_state, action
             )
             next_states = extras.get("states") if self.use_central_value else None
+            captured = {k: extras[k] for k in self.capture_extras}
             shaped = reward * cfg.reward_scale
             if cfg.value_bootstrap:
                 shaped = shaped + cfg.gamma * value * extras["time_outs"]
@@ -283,6 +289,7 @@ class PPO:
                 obs=obs,
                 action=action,
                 states=states if self.use_central_value else 0.0,
+                extras=captured,
                 mu=mu,
                 sigma=log_sigma,
                 logp=logp,
@@ -348,12 +355,20 @@ class PPO:
         return advantages, returns
 
     # ------------------------------------------------------------------
+    def extra_dataset(self, ts, traj, flat) -> tuple:
+        """Hook: extra per-sample arrays appended to the minibatch tuple."""
+        return ()
+
+    def extra_loss(self, params, batch_extra):
+        """Hook: additional loss terms from the extra dataset entries."""
+        return 0.0, {}
+
     def _loss(self, params, batch, value_rms, lr_unused=None):
         cfg = self.cfg
         (
             nobs, nstates, action, old_mu, old_log_sigma, old_logp,
             old_vnorm, adv, ret_norm,
-        ) = batch
+        ) = batch[:9]
         mu, log_sigma, v_pol = self.network.apply(params["policy"], nobs)
         if self.use_central_value:
             v_norm = self.central_net.apply(params["central"], nstates)
@@ -390,6 +405,8 @@ class PPO:
             - cfg.entropy_coef * entropy
             + cfg.bounds_loss_coef * b_loss
         )
+        xloss, _ = self.extra_loss(params, batch[9:])
+        total = total + xloss
         kl = _policy_kl(old_mu, old_log_sigma, mu, log_sigma)
         return total, (a_loss, c_loss, entropy, b_loss, kl)
 
@@ -402,11 +419,17 @@ class PPO:
         return jnp.clip(lr, cfg.min_lr, cfg.max_lr)
 
     # ------------------------------------------------------------------
+    def shape_rollout_rewards(self, ts, traj):
+        """Hook for subclasses to modify rollout rewards (e.g. AMP style
+        rewards) before GAE. Returns (ts, traj, aux_metrics)."""
+        return ts, traj, {}
+
     def train_epoch(self, ts: PPOTrainState):
         """One full PPO epoch: rollout + mini_epochs of minibatch updates.
         Jitted as a whole; returns (new_ts, metrics dict)."""
         cfg = self.cfg
         ts, traj, last_value = self.rollout(ts)
+        ts, traj, aux_metrics = self.shape_rollout_rewards(ts, traj)
         advantages, returns = self._gae(traj, last_value)
 
         # value normalizer trains on the fresh values+returns
@@ -446,7 +469,7 @@ class PPO:
             flat(old_vnorm),
             adv,
             flat(ret_norm),
-        )
+        ) + self.extra_dataset(ts, traj, flat)
 
         def mini_epoch(carry, _):
             params, opt_state, lr, key = carry
@@ -498,6 +521,7 @@ class PPO:
             "ep_len_sum": jnp.sum(traj.ep_len_done),
             "n_episodes": jnp.sum(traj.n_done),
             "reward_mean_step": jnp.mean(traj.reward),
+            **aux_metrics,
         }
         return ts, metrics
 

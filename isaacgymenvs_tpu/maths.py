@@ -382,3 +382,11 @@ def spatial_inertia_at_origin(mass, com_world, inertia_world):
     top = jnp.concatenate([top_left, top_right], axis=-1)
     bottom = jnp.concatenate([bottom_left, bottom_right], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+def quat_to_tan_norm(q: jax.Array) -> jax.Array:
+    """6D rotation representation: rotated x-axis (tangent) + z-axis
+    (normal) (ref torch_jit_utils quat_to_tan_norm / poselib)."""
+    tan = quat_rotate(q, jnp.zeros(q.shape[:-1] + (3,)).at[..., 0].set(1.0))
+    norm = quat_rotate(q, jnp.zeros(q.shape[:-1] + (3,)).at[..., 2].set(1.0))
+    return jnp.concatenate([tan, norm], axis=-1)

@@ -14,6 +14,7 @@ from .anymal import Anymal
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
 from .humanoid import Humanoid
+from .humanoid_amp import HumanoidAMP
 from .ingenuity import Ingenuity
 from .quadcopter import Quadcopter
 from .shadow_hand import ShadowHand
@@ -25,6 +26,7 @@ task_map: Dict[str, Type[VecTask]] = {
     "BallBalance": BallBalance,
     "Anymal": Anymal,
     "Humanoid": Humanoid,
+    "HumanoidAMP": HumanoidAMP,
     "Ingenuity": Ingenuity,
     "Quadcopter": Quadcopter,
     "ShadowHand": ShadowHand,

@@ -58,6 +58,10 @@ def main(argv=None):
         from isaacgymenvs_tpu.learn import SAC
 
         agent = SAC(env, train_params, seed=seed)
+    elif algo == "amp_continuous":
+        from isaacgymenvs_tpu.learn import AMPAgent
+
+        agent = AMPAgent(env, train_params, seed=seed)
     else:
         agent = PPO(env, train_params, seed=seed)
 
