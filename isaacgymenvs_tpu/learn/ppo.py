@@ -666,9 +666,10 @@ class PPO:
                     },
                     frames,
                 )
+            stop_requested = False
             if on_epoch is not None:
-                on_epoch(ts, last_metrics)
-            elif epoch % log_every == 0 or epoch == 1:
+                stop_requested = bool(on_epoch(ts, last_metrics))
+            if epoch % log_every == 0 or epoch == 1:
                 print(
                     f"epoch {epoch:5d} | return {mean_ret:10.2f} | "
                     f"fps {last_metrics['fps']:9.0f} | kl {last_metrics['kl']:.4f} "
@@ -688,6 +689,8 @@ class PPO:
                 ):
                     best_ret = mean_ret
                     self.save(os.path.join(nn_dir, f"{name}.ckpt"), ts, epoch, frames)
+            if stop_requested:
+                break
             if mean_ret == mean_ret and mean_ret >= cfg.score_to_win:
                 print(f"score_to_win {cfg.score_to_win} reached at epoch {epoch}")
                 break

@@ -181,8 +181,13 @@ def load_config(
     train_path = os.path.join(cdir, "train", f"{train_name}.yaml")
     cfg["train"] = _load_yaml(train_path) if os.path.exists(train_path) else {}
 
+    # pbt config group (reference cfg/config.yaml defaults: pbt: no_pbt)
+    pbt_name = pre.get("pbt", "no_pbt")
+    pbt_path = os.path.join(cdir, "pbt", f"{pbt_name}.yaml")
+    cfg["pbt"] = _load_yaml(pbt_path) if os.path.exists(pbt_path) else {"enabled": False}
+
     overrides = [
-        o for o in overrides if o.partition("=")[0] not in ("task", "train")
+        o for o in overrides if o.partition("=")[0] not in ("task", "train", "pbt")
     ]
     apply_overrides(cfg, overrides)
     return resolve(copy.deepcopy(cfg))

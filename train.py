@@ -89,6 +89,16 @@ def main(argv=None):
     from isaacgymenvs_tpu.utils.loggers import build_logger
 
     logger = build_logger(cfg, run_name)
+
+    pbt_cfg = cfg.get("pbt") or {}
+    if pbt_cfg.get("enabled") and algo not in ("sac",):
+        from isaacgymenvs_tpu.utils.pbt_loop import run_pbt_training
+
+        run_pbt_training(
+            cfg, env, train_params, seed, run_name, logger, pbt_cfg
+        )
+        logger.close()
+        return
     try:
         if algo == "sac":
             agent.train(
