@@ -160,6 +160,7 @@ def constraint_data(
     kin: Kin,
     anc: jax.Array,
     plane_friction: jax.Array | float = 1.0,
+    terrain=None,
 ) -> ConstraintData:
     """Assemble all constraint rows (plane contacts + pair contacts +
     bilateral anchors). Static counts; pure; vmap over envs."""
@@ -169,23 +170,34 @@ def constraint_data(
     Js, phis, errs, mus, bils, acts, xs, frames = [], [], [], [], [], [], [], []
     bodies_a, bodies_b = [], []
 
-    # --- 1. candidate points vs ground plane ---------------------------
+    # --- 1. candidate points vs ground (plane or heightfield) ----------
     if model.ncp and model.plane_contacts:
         bodies = np.asarray(model.cpoint_body)
         bq = kin.quat[bodies]
         bx = kin.x[bodies]
         x = bx + maths.quat_rotate(bq, model.cpoint_pos)  # (ncp, 3)
-        phi = model.cpoint_radius - x[:, 2]
         k = len(bodies)
         Jp = _point_jacobian(kin, anc, dof_body, bodies, x)  # world frame rows x,y,z
-        Js.append(Jp)  # frame = world: t1=x, t2=y, n=z
+        if terrain is None:
+            phi = model.cpoint_radius - x[:, 2]
+            frame = jnp.broadcast_to(jnp.eye(3), (k, 3, 3))
+            J = Jp  # frame = world: t1=x, t2=y, n=z
+        else:
+            h = terrain.sample(x[:, :2])
+            n = terrain.normal(x[:, :2])
+            # distance along the surface normal (slope-corrected)
+            phi = model.cpoint_radius - (x[:, 2] - h) * n[:, 2]
+            t1, t2 = _tangent_basis(n)
+            frame = jnp.stack([t1, t2, n], axis=1)
+            J = jnp.einsum("kij,kjv->kiv", frame, Jp)
+        Js.append(J)
         phis.append(phi)
         errs.append(jnp.zeros((k, 3)))
         mus.append(model.cpoint_friction * plane_friction)
         bils.append(jnp.zeros(k))
         acts.append(jnp.ones(k, bool))
         xs.append(x)
-        frames.append(jnp.broadcast_to(jnp.eye(3), (k, 3, 3)))
+        frames.append(frame)
         bodies_a.append(bodies)
         bodies_b.append(np.full(k, -1))
 

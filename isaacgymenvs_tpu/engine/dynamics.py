@@ -60,6 +60,52 @@ class SimParams:
     contact_margin: float = 0.0
     limit_stiffness: float = 400.0
     limit_damping: float = 20.0  # made implicit (added to the M diagonal)
+    # hard safety clamp on generalized velocities (PhysX
+    # maxLinearVelocity/maxAngularVelocity analogue)
+    max_dof_velocity: float = 1000.0
+
+
+@struct.dataclass
+class Terrain:
+    """Static heightfield the ground plane generalizes to (the TPU
+    replacement for add_triangle_mesh terrain, reference
+    anymal_terrain.py:196-209): a dense height grid + bilinear lookups --
+    regular memory access instead of trimesh BVH queries."""
+
+    height: jax.Array  # (rows, cols) meters
+    horizontal_scale: float = 0.1  # meters per cell
+    origin: jax.Array = None  # (2,) world xy of grid index (0, 0)
+
+    def sample(self, xy):
+        """Bilinear height at world xy (..., 2)."""
+        g = (xy - self.origin) / self.horizontal_scale
+        rows, cols = self.height.shape
+        gx = jnp.clip(g[..., 0], 0.0, rows - 1.001)
+        gy = jnp.clip(g[..., 1], 0.0, cols - 1.001)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        fx = gx - x0
+        fy = gy - y0
+        h00 = self.height[x0, y0]
+        h10 = self.height[x0 + 1, y0]
+        h01 = self.height[x0, y0 + 1]
+        h11 = self.height[x0 + 1, y0 + 1]
+        return (
+            h00 * (1 - fx) * (1 - fy)
+            + h10 * fx * (1 - fy)
+            + h01 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+
+    def normal(self, xy):
+        """Surface normal from central differences of the height field."""
+        e = self.horizontal_scale
+        ex = jnp.zeros_like(xy).at[..., 0].set(e)
+        ey = jnp.zeros_like(xy).at[..., 1].set(e)
+        dhdx = (self.sample(xy + ex) - self.sample(xy - ex)) / (2 * e)
+        dhdy = (self.sample(xy + ey) - self.sample(xy - ey)) / (2 * e)
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
 @struct.dataclass

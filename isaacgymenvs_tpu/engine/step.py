@@ -43,6 +43,7 @@ def physics_step(
     xfrc: jax.Array | None = None,
     plane_friction: jax.Array | float = 1.0,
     q_target: jax.Array | None = None,
+    terrain=None,
 ) -> StepOut:
     """Advance one env-step dt = params.dt (substeps * solver_iterations
     internal slices). qfrc: (nv,) applied generalized forces, held constant
@@ -66,13 +67,18 @@ def physics_step(
             q_spring=q_target,
         )
         qd_free = qd + h * qdd
-        con = _contacts.constraint_data(model, kin, anc, plane_friction)
+        con = _contacts.constraint_data(
+            model, kin, anc, plane_friction, terrain=terrain
+        )
         sol = _contacts.solve_contacts(
             model, con, minv_mul, qd_free, h, params, warm=warm
         )
         bf, bt = _contacts.accumulate_body_wrench(model, con, sol, kin, h)
-        q2 = _dyn.integrate_positions(model, q, sol.qd, h, meta)
-        return (q2, sol.qd, sol.impulse), (bf, bt, sol.qfrc / h)
+        qd_new = jnp.clip(
+            sol.qd, -params.max_dof_velocity, params.max_dof_velocity
+        )
+        q2 = _dyn.integrate_positions(model, q, qd_new, h, meta)
+        return (q2, qd_new, sol.impulse), (bf, bt, sol.qfrc / h)
 
     ncon = _contacts.num_constraints(model)
     warm0 = jnp.zeros((ncon, 3))

@@ -96,6 +96,7 @@ class VecTask:
         self.clip_obs = float(env_cfg.get("clipObservations", np.inf))
         self.clip_actions = float(env_cfg.get("clipActions", np.inf))
         self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 1))
+        self.terrain = None  # optional engine Terrain (set by build_model)
         self.model, self.sim_params = self.build_model()
         # domain randomization (reference vec_task.py:568-840 DR engine)
         task_cfg = cfg.get("task", {}) or {}
@@ -133,6 +134,13 @@ class VecTask:
         """Optional per-env extras (e.g. AMP observations). Receives the
         task state BEFORE reward_done updates it. Return a dict of arrays."""
         return None
+
+    def resample_init(self, rng, old_task):
+        """Partial-reset sampler that can read the env's pre-reset task
+        state -- override to persist curriculum across resets (terrain
+        levels, success tolerances; the reference keeps these in
+        buffers that reset_idx simply does not clear)."""
+        return self.sample_init(rng)
 
     # ---- helpers shared by tasks --------------------------------------
     def sim_params_from_cfg(self) -> SimParams:
@@ -204,6 +212,7 @@ class VecTask:
             params,
             xfrc=xfrc,
             q_target=q_target,
+            terrain=self.terrain,
         )
         return (
             out.state.q,
@@ -320,9 +329,14 @@ class VecTask:
 
         # 3. partial resets of envs flagged done last step (branch-free)
         key, sub = jax.random.split(key)
-        init_q, init_qd, init_task = jax.vmap(self.sample_init)(
-            jax.random.split(sub, n)
-        )
+        if type(self).resample_init is not VecTask.resample_init:
+            init_q, init_qd, init_task = jax.vmap(self.resample_init)(
+                jax.random.split(sub, n), state.task
+            )
+        else:
+            init_q, init_qd, init_task = jax.vmap(self.sample_init)(
+                jax.random.split(sub, n)
+            )
         done_prev = state.reset_buf
 
         def sel(a, b):  # where over an arbitrary-rank batched leaf

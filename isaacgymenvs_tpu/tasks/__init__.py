@@ -11,6 +11,7 @@ from ..envcore.vec_task import VecTask
 from .allegro_hand import AllegroHand
 from .ant import Ant
 from .anymal import Anymal
+from .anymal_terrain import AnymalTerrain
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
 from .humanoid import Humanoid
@@ -25,6 +26,7 @@ task_map: Dict[str, Type[VecTask]] = {
     "Ant": Ant,
     "BallBalance": BallBalance,
     "Anymal": Anymal,
+    "AnymalTerrain": AnymalTerrain,
     "Humanoid": Humanoid,
     "HumanoidAMP": HumanoidAMP,
     "Ingenuity": Ingenuity,

@@ -29,6 +29,8 @@ def make(name, num_envs=8, **env_kw):
         ("Quadcopter", 21, 12),
         ("ShadowHand", 211, 20),
         ("AllegroHand", 88, 16),
+        ("AnymalTerrain", 188, 12),
+        ("HumanoidAMP", 105, 28),
     ],
 )
 def test_env_contract(name, num_obs, num_acts):
