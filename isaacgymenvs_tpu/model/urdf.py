@@ -95,6 +95,10 @@ def _parse_geometry(geo_elem, mesh_dirs=()):
     mesh = geo_elem.find("mesh")
     if mesh is not None:
         fname = mesh.get("filename", "")
+        if fname.startswith("package://"):
+            # ROS package URI: resolve the package dir against the asset
+            # roots (IsaacGym resolves these the same way)
+            fname = fname[len("package://"):]
         scale_attr = mesh.get("scale", "1 1 1")
         scale = _fv(scale_attr)
         if scale.size == 1:

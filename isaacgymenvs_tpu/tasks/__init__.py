@@ -14,6 +14,7 @@ from .anymal import Anymal
 from .anymal_terrain import AnymalTerrain
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
+from .franka_cabinet import FrankaCabinet
 from .humanoid import Humanoid
 from .humanoid_amp import HumanoidAMP
 from .ingenuity import Ingenuity
@@ -23,6 +24,7 @@ from .shadow_hand import ShadowHand
 task_map: Dict[str, Type[VecTask]] = {
     "AllegroHand": AllegroHand,
     "Cartpole": Cartpole,
+    "FrankaCabinet": FrankaCabinet,
     "Ant": Ant,
     "BallBalance": BallBalance,
     "Anymal": Anymal,

@@ -31,6 +31,7 @@ def make(name, num_envs=8, **env_kw):
         ("AllegroHand", 88, 16),
         ("AnymalTerrain", 188, 12),
         ("HumanoidAMP", 105, 28),
+        ("FrankaCabinet", 23, 9),
     ],
 )
 def test_env_contract(name, num_obs, num_acts):
