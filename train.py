@@ -62,6 +62,10 @@ def main(argv=None):
         from isaacgymenvs_tpu.learn import AMPAgent
 
         agent = AMPAgent(env, train_params, seed=seed)
+    elif train_params.get("network", {}).get("rnn"):
+        from isaacgymenvs_tpu.learn import PPORecurrent
+
+        agent = PPORecurrent(env, train_params, seed=seed)
     else:
         agent = PPO(env, train_params, seed=seed)
 
