@@ -1,1 +1,2 @@
 from .randomize import DomainRandomizer, DRSpec  # noqa: F401
+from .adr import ADR, AdrState  # noqa: F401
