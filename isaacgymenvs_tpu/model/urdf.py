@@ -189,6 +189,7 @@ def load_urdf(
     fix_base: bool = False,
     default_friction: float = 1.0,
     collapse_fixed: bool = False,
+    default_density: float = 1000.0,
 ) -> Model:
     root = ET.parse(path).getroot()
     d = os.path.dirname(os.path.abspath(path))
@@ -201,6 +202,7 @@ def load_urdf(
         default_friction=default_friction,
         collapse_fixed=collapse_fixed,
         mesh_dirs=mesh_dirs,
+        default_density=default_density,
     )
 
 
@@ -210,6 +212,7 @@ def parse_urdf(
     default_friction: float = 1.0,
     collapse_fixed: bool = False,
     mesh_dirs=(),
+    default_density: float = 1000.0,
 ) -> Model:
     links = {l.get("name"): l for l in root.findall("link")}
     joints = list(root.findall("joint"))
@@ -246,6 +249,30 @@ def parse_urdf(
             geoms.append((gtype, gpos, gquat, gsize, mesh_pts))
         inertial = link_elem.find("inertial")
         mass, com, inertia = 0.0, np.zeros(3), np.zeros((3, 3))
+        if inertial is None and geoms:
+            # no <inertial>: derive mass/inertia from collision shapes at
+            # the asset density (gymapi.AssetOptions.density; 1000 default,
+            # e.g. franka_panda.urdf; anymal loads with 0.001)
+            density = default_density
+            total = np.zeros((3, 3))
+            com = np.zeros(3)
+            for gtype, gpos, gquat, gsize, _mp in geoms:
+                m_u, _ = _geom_inertia_unit_density(gtype, gsize)
+                mass += m_u * density
+                com = com + m_u * density * gpos
+            if mass > 0:
+                com = com / mass
+            for gtype, gpos, gquat, gsize, _mp in geoms:
+                m_u, i_u = _geom_inertia_unit_density(gtype, gsize)
+                from .mjcf import _quat_to_mat_xyzw
+
+                R = _quat_to_mat_xyzw(gquat)
+                i_rot = R @ (i_u * density) @ R.T
+                d = gpos - com
+                total += i_rot + m_u * density * (
+                    np.dot(d, d) * np.eye(3) - np.outer(d, d)
+                )
+            inertia = total
         if inertial is not None:
             mass = float(inertial.find("mass").get("value")) if inertial.find("mass") is not None else 0.0
             dens_el = inertial.find("density")

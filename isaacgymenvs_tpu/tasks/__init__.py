@@ -15,6 +15,7 @@ from .anymal_terrain import AnymalTerrain
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
 from .franka_cabinet import FrankaCabinet
+from .franka_cube_stack import FrankaCubeStack
 from .humanoid import Humanoid
 from .humanoid_amp import HumanoidAMP
 from .ingenuity import Ingenuity
@@ -25,6 +26,7 @@ task_map: Dict[str, Type[VecTask]] = {
     "AllegroHand": AllegroHand,
     "Cartpole": Cartpole,
     "FrankaCabinet": FrankaCabinet,
+    "FrankaCubeStack": FrankaCubeStack,
     "Ant": Ant,
     "BallBalance": BallBalance,
     "Anymal": Anymal,

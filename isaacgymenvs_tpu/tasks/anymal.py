@@ -72,7 +72,8 @@ class Anymal(VecTask):
         asset = self.cfg["env"].get("urdfAsset", {}).get(
             "file", "urdf/anymal_c/urdf/anymal.urdf"
         )
-        m = load_urdf(asset_path(asset), collapse_fixed=True)
+        # density 0.001 for inertial-free links (reference anymal.py:176)
+        m = load_urdf(asset_path(asset), collapse_fixed=True, default_density=0.001)
         # PD drive gains as dof properties (reference anymal.py:199-203);
         # drive damping is integrated implicitly by the engine
         env = self.cfg["env"]

