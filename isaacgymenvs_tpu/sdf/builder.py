@@ -28,6 +28,18 @@ _LIB_PATHS = [
 
 
 def _load_lib():
+    # build on demand if the checkout is fresh
+    for p in _LIB_PATHS:
+        if not os.path.exists(p):
+            import subprocess
+
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.dirname(p)],
+                    check=False, capture_output=True, timeout=120,
+                )
+            except Exception:
+                pass
     for p in _LIB_PATHS:
         if os.path.exists(p):
             lib = ctypes.CDLL(p)
