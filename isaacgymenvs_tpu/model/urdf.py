@@ -193,9 +193,12 @@ def load_urdf(
 ) -> Model:
     root = ET.parse(path).getroot()
     d = os.path.dirname(os.path.abspath(path))
-    # mesh path resolution candidates: urdf dir, its parents (IsaacGym
+    # mesh path resolution candidates: urdf dir and its parents (IsaacGym
     # resolves relative to the asset root)
-    mesh_dirs = (d, os.path.dirname(d), os.path.dirname(os.path.dirname(d)))
+    d1 = os.path.dirname(d)
+    d2 = os.path.dirname(d1)
+    d3 = os.path.dirname(d2)
+    mesh_dirs = (d, d1, d2, d3)
     return parse_urdf(
         root,
         fix_base=fix_base,

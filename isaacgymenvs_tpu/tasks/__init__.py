@@ -20,6 +20,7 @@ from .humanoid import Humanoid
 from .humanoid_amp import HumanoidAMP
 from .ingenuity import Ingenuity
 from .quadcopter import Quadcopter
+from .trifinger import Trifinger
 from .shadow_hand import ShadowHand
 
 task_map: Dict[str, Type[VecTask]] = {
@@ -36,6 +37,7 @@ task_map: Dict[str, Type[VecTask]] = {
     "Ingenuity": Ingenuity,
     "Quadcopter": Quadcopter,
     "ShadowHand": ShadowHand,
+    "Trifinger": Trifinger,
 }
 
 

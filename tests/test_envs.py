@@ -33,6 +33,7 @@ def make(name, num_envs=8, **env_kw):
         ("HumanoidAMP", 105, 28),
         ("FrankaCabinet", 23, 9),
         ("FrankaCubeStack", 19, 7),
+        ("Trifinger", 41, 9),
     ],
 )
 def test_env_contract(name, num_obs, num_acts):
