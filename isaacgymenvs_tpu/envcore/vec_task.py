@@ -62,6 +62,8 @@ class EnvState:
     dr: Any = None  # dict name -> (num_envs, ...) sampled factors/offsets
     randomize_buf: jax.Array = None  # (num_envs,) steps since last re-rand
     frames: jax.Array = None  # () int32 total env steps (DR schedules)
+    # automatic domain randomization (None unless the task enables ADR):
+    adr: Any = None  # dr.adr.AdrState -- population-level range state
 
 
 class VecTask:
@@ -107,6 +109,17 @@ class VecTask:
             self.randomizer = DomainRandomizer(
                 self.model, task_cfg.get("randomization_params", {})
             )
+        # ADR (reference adr_vec_task.py:489-1250): tasks that want it set
+        # an `adr:` block in the task cfg AND keep an "adr" (P,)-leaf in
+        # their task dict; the runtime resamples it from the evolving
+        # ranges at every partial reset and pushes boundary-worker episode
+        # objectives back into the range-update queues.
+        self.adr = None
+        adr_cfg = env_cfg.get("adr") or cfg.get("adr")
+        if adr_cfg and adr_cfg.get("use_adr"):
+            from ..dr.adr import ADR
+
+            self.adr = ADR(adr_cfg, self.num_envs)
         # env-step dt as seen by the task (vec_task control_freq_inv semantics)
         self.dt = self.sim_params.dt * self.control_freq_inv
 
@@ -134,6 +147,12 @@ class VecTask:
         """Optional per-env extras (e.g. AMP observations). Receives the
         task state BEFORE reward_done updates it. Return a dict of arrays."""
         return None
+
+    def adr_objective(self, task):
+        """Per-env episode objective fed to the ADR range updater when an
+        env finishes (reference uses consecutive successes). Override in
+        ADR-enabled tasks; receives a SINGLE env's task pytree."""
+        return jnp.zeros(())
 
     def resample_init(self, rng, old_task):
         """Partial-reset sampler that can read the env's pre-reset task
@@ -255,6 +274,15 @@ class VecTask:
         if self.randomizer is not None:
             key, kdr = jax.random.split(key)
             dr = self.randomizer.sample(kdr, n, jnp.zeros((), jnp.int32))
+        adr_state = None
+        if self.adr is not None:
+            key, ka, kp = jax.random.split(key, 3)
+            adr_state = self.adr.init_state(ka)
+            task = dict(task)
+            task["adr"] = self.adr.sample(adr_state, kp, n)
+            obs = jax.vmap(self.observe)(
+                q, qd, kin, sensors, task, actions, progress
+            )
         state = EnvState(
             sim=SimState(q=q, qd=qd),
             progress=progress,
@@ -265,6 +293,7 @@ class VecTask:
             dr=dr,
             randomize_buf=jnp.zeros(n, jnp.int32),
             frames=jnp.zeros((), jnp.int32),
+            adr=adr_state,
         )
         return state, jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
@@ -337,6 +366,12 @@ class VecTask:
             init_q, init_qd, init_task = jax.vmap(self.sample_init)(
                 jax.random.split(sub, n)
             )
+        if self.adr is not None:
+            # fresh per-env ADR parameter draws from the CURRENT ranges
+            # replace sample_init's placeholder (sample_adr_tensor :666-730)
+            key, kp = jax.random.split(key)
+            init_task = dict(init_task)
+            init_task["adr"] = self.adr.sample(state.adr, kp, n)
         done_prev = state.reset_buf
 
         def sel(a, b):  # where over an arbitrary-rank batched leaf
@@ -399,7 +434,16 @@ class VecTask:
         # 6. timeout flag (vec_task.py:393-394)
         timeout = (progress >= self.max_episode_length - 1) & done
 
+        # 6b. ADR range evolution on finished boundary-worker episodes
+        adr_state = state.adr
+        if self.adr is not None:
+            key, ku = jax.random.split(key)
+            objective = jax.vmap(self.adr_objective)(task)
+            adr_state = self.adr.update(state.adr, ku, done, objective)
+
         extras = {"time_outs": timeout}
+        if self.adr is not None:
+            extras["adr_nats"] = jnp.broadcast_to(adr_state.nats, (n,))
         if task_extras is not None:
             extras.update(task_extras)
         if self.num_states:
@@ -418,5 +462,6 @@ class VecTask:
             dr=dr,
             randomize_buf=rbuf,
             frames=frames,
+            adr=adr_state,
         )
         return new_state, obs, reward, done, extras

@@ -56,6 +56,16 @@ def env_state_sharding(env_state, mesh: Mesh):
             env_ax if env_state.randomize_buf is not None else None
         ),
         frames=rep if env_state.frames is not None else None,
+        # AdrState: population-level range/queue arrays replicate, the
+        # per-env worker-mode assignment shards on the env axis
+        adr=(
+            env_state.adr.replace(
+                lo=rep, hi=rep, queues=rep, counts=rep,
+                worker_boundary=env_ax, nats=rep,
+            )
+            if env_state.adr is not None
+            else None
+        ),
     )
 
 

@@ -9,11 +9,16 @@ from typing import Dict, Type
 
 from ..envcore.vec_task import VecTask
 from .allegro_hand import AllegroHand
+from .allegro_hand_dextreme import (
+    AllegroHandDextremeADR,
+    AllegroHandDextremeManualDR,
+)
 from .ant import Ant
 from .anymal import Anymal
 from .anymal_terrain import AnymalTerrain
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
+from .factory_nut_bolt_pick import FactoryTaskNutBoltPick
 from .franka_cabinet import FrankaCabinet
 from .franka_cube_stack import FrankaCubeStack
 from .humanoid import Humanoid
@@ -25,7 +30,10 @@ from .shadow_hand import ShadowHand
 
 task_map: Dict[str, Type[VecTask]] = {
     "AllegroHand": AllegroHand,
+    "AllegroHandDextremeADR": AllegroHandDextremeADR,
+    "AllegroHandDextremeManualDR": AllegroHandDextremeManualDR,
     "Cartpole": Cartpole,
+    "FactoryTaskNutBoltPick": FactoryTaskNutBoltPick,
     "FrankaCabinet": FrankaCabinet,
     "FrankaCubeStack": FrankaCubeStack,
     "Ant": Ant,

@@ -29,8 +29,10 @@ def make(name, num_envs=8, **env_kw):
         ("Quadcopter", 21, 12),
         ("ShadowHand", 211, 20),
         ("AllegroHand", 88, 16),
+        ("AllegroHandDextremeADR", 47, 16),
         ("AnymalTerrain", 188, 12),
         ("HumanoidAMP", 105, 28),
+        ("FactoryTaskNutBoltPick", 20, 12),
         ("FrankaCabinet", 23, 9),
         ("FrankaCubeStack", 19, 7),
         ("Trifinger", 41, 9),

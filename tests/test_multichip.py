@@ -33,3 +33,23 @@ def test_sharded_train_epoch_runs():
     # params stay replicated after the update
     leaf = jax.tree.leaves(ts.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_adr_env_state_shards():
+    """EnvState.adr (AdrState): ranges replicate, worker modes shard."""
+    from isaacgymenvs_tpu.parallel.sharding import env_state_sharding
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(
+        ["task=AllegroHandDextremeADR", "num_envs=32"]
+    )["task"]
+    env = task_map["AllegroHandDextremeADR"](cfg)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    state = jax.device_put(state, env_state_sharding(state, mesh))
+    assert len(state.adr.worker_boundary.sharding.device_set) == 8
+    assert state.adr.lo.sharding.is_fully_replicated
+    with mesh:
+        step = jax.jit(env.step)
+        state, obs, rew, done, ex = step(state, jnp.zeros((32, 16)))
+    assert np.isfinite(np.asarray(rew)).all()
