@@ -251,6 +251,12 @@ class PPO:
             return None
         return rms_normalize(rms, states) if self.cfg.normalize_input else states
 
+    def env_step(self, env_state, obs, action):
+        """One (macro-)transition of the env as seen by the learner. The
+        HRL agent overrides this to expand a latent action into llc_steps
+        low-level steps (reference hrl_continuous.py:74-99)."""
+        return self.env.step(env_state, action)
+
     def rollout(self, ts: PPOTrainState):
         cfg = self.cfg
 
@@ -274,8 +280,8 @@ class PPO:
             action = mu + sigma * jax.random.normal(ksample, mu.shape)
             logp = _gaussian_logp(action, mu, log_sigma)
 
-            env_state, next_obs, reward, done, extras = self.env.step(
-                env_state, action
+            env_state, next_obs, reward, done, extras = self.env_step(
+                env_state, obs, action
             )
             next_states = extras.get("states") if self.use_central_value else None
             captured = {k: extras[k] for k in self.capture_extras}

@@ -62,6 +62,10 @@ def main(argv=None):
         from isaacgymenvs_tpu.learn import AMPAgent
 
         agent = AMPAgent(env, train_params, seed=seed)
+    elif algo == "hrl_continuous":
+        from isaacgymenvs_tpu.learn import HRL
+
+        agent = HRL(env, train_params, seed=seed)
     elif train_params.get("network", {}).get("rnn"):
         from isaacgymenvs_tpu.learn import PPORecurrent
 
