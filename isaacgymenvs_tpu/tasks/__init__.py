@@ -9,6 +9,7 @@ from typing import Dict, Type
 
 from ..envcore.vec_task import VecTask
 from .allegro_hand import AllegroHand
+from .allegro_kuka import AllegroKukaReorientation
 from .allegro_hand_dextreme import (
     AllegroHandDextremeADR,
     AllegroHandDextremeManualDR,
@@ -30,6 +31,7 @@ from .shadow_hand import ShadowHand
 
 task_map: Dict[str, Type[VecTask]] = {
     "AllegroHand": AllegroHand,
+    "AllegroKukaReorientation": AllegroKukaReorientation,
     "AllegroHandDextremeADR": AllegroHandDextremeADR,
     "AllegroHandDextremeManualDR": AllegroHandDextremeManualDR,
     "Cartpole": Cartpole,

@@ -30,6 +30,7 @@ def make(name, num_envs=8, **env_kw):
         ("ShadowHand", 211, 20),
         ("AllegroHand", 88, 16),
         ("AllegroHandDextremeADR", 47, 16),
+        ("AllegroKukaReorientation", 117, 23),
         ("AnymalTerrain", 188, 12),
         ("HumanoidAMP", 105, 28),
         ("FactoryTaskNutBoltPick", 20, 12),
