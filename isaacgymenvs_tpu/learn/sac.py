@@ -393,4 +393,72 @@ class SAC:
                 )
             if mean_ret == mean_ret and mean_ret >= cfg.score_to_win:
                 break
+        if train_dir is not None:
+            import os
+
+            path = os.path.join(train_dir, name, "nn", f"{name}.ckpt")
+            self.save(path, ts)
         return ts, last
+
+    # ------------------------------------------------------------------
+    def save(self, path: str, ts: SACTrainState) -> None:
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            jax.device_get(
+                {
+                    "actor_params": ts.actor_params,
+                    "critic_params": ts.critic_params,
+                    "target_params": ts.target_params,
+                    "log_alpha": ts.log_alpha,
+                    "obs_rms": ts.obs_rms,
+                }
+            ),
+        )
+
+    def restore(self, path: str, ts: SACTrainState) -> SACTrainState:
+        from ..utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(path)
+        return ts.replace(
+            actor_params=jax.device_put(ck["actor_params"]),
+            critic_params=jax.device_put(ck["critic_params"]),
+            target_params=jax.device_put(ck["target_params"]),
+            log_alpha=jax.device_put(ck["log_alpha"]),
+            obs_rms=jax.device_put(ck["obs_rms"]),
+        )
+
+    def act(self, ts: SACTrainState, obs):
+        """Deterministic eval action: tanh(mu) (SACPlayer semantics)."""
+        nobs = self._norm(ts.obs_rms, obs)
+        mu, _ = self.actor.apply(ts.actor_params, nobs)
+        return jnp.tanh(mu)
+
+    def play(
+        self, checkpoint: str | None = None, num_episodes: int = 32
+    ) -> float:
+        """Inference loop (rl_games SACPlayer run() semantics):
+        deterministic squashed policy, mean finished-episode return."""
+        ts = self.init()
+        if checkpoint:
+            ts = self.restore(checkpoint, ts)
+        act = jax.jit(lambda ts, obs: self.act(ts, obs))
+        step = jax.jit(self.env.step)
+        env_state, obs = self.env.reset(jax.random.PRNGKey(self.seed + 1))
+        n = self.env.num_envs
+        ep_ret = jnp.zeros(n)
+        finished, total = 0, 0.0
+        while finished < num_episodes:
+            a = act(ts, obs)
+            env_state, obs, rew, done, _ = step(env_state, a)
+            ep_ret = ep_ret + rew
+            d = np.asarray(done)
+            if d.any():
+                r = np.asarray(ep_ret)
+                total += float(r[d].sum())
+                finished += int(d.sum())
+                ep_ret = jnp.where(done, 0.0, ep_ret)
+        mean_ret = total / max(finished, 1)
+        print(f"played {finished} episodes | mean return {mean_ret:.2f}")
+        return mean_ret

@@ -47,3 +47,28 @@ def test_sac_trains_and_updates():
     assert diff > 0
     # buffer filled
     assert int(ts.buffer.size) == 6 * 8 * 32
+
+
+def test_sac_checkpoint_roundtrip_and_play(tmp_path):
+    cfg = {
+        "env": {"numEnvs": 16, "clipActions": 1.0, "episodeLength": 40},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    env = task_map["Cartpole"](cfg)
+    tp = {
+        "network": {"mlp": {"units": [32, 32]}},
+        "config": {"batch_size": 64, "num_steps_per_episode": 8,
+                   "num_warmup_steps": 2, "replay_buffer_size": 2048},
+    }
+    agent = SAC(env, tp, seed=0)
+    ts = agent.init()
+    ts, m = agent._train_epoch(ts)
+    path = str(tmp_path / "sac.ckpt")
+    agent.save(path, ts)
+    ts2 = agent.restore(path, agent.init())
+    eq = jax.tree.map(
+        lambda a, b: bool((a == b).all()), ts.actor_params, ts2.actor_params
+    )
+    assert all(jax.tree.leaves(eq))
+    ret = agent.play(checkpoint=path, num_episodes=4)
+    assert np.isfinite(ret)
