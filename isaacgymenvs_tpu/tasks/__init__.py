@@ -9,7 +9,11 @@ from typing import Dict, Type
 
 from ..envcore.vec_task import VecTask
 from .allegro_hand import AllegroHand
-from .allegro_kuka import AllegroKukaReorientation
+from .allegro_kuka import (
+    AllegroKukaRegrasping,
+    AllegroKukaReorientation,
+    AllegroKukaThrow,
+)
 from .allegro_hand_dextreme import (
     AllegroHandDextremeADR,
     AllegroHandDextremeManualDR,
@@ -32,6 +36,8 @@ from .shadow_hand import ShadowHand
 task_map: Dict[str, Type[VecTask]] = {
     "AllegroHand": AllegroHand,
     "AllegroKukaReorientation": AllegroKukaReorientation,
+    "AllegroKukaRegrasping": AllegroKukaRegrasping,
+    "AllegroKukaThrow": AllegroKukaThrow,
     "AllegroHandDextremeADR": AllegroHandDextremeADR,
     "AllegroHandDextremeManualDR": AllegroHandDextremeManualDR,
     "Cartpole": Cartpole,

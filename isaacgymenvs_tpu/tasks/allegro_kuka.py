@@ -39,6 +39,10 @@ FINGERTIPS = ("index_link_3", "middle_link_3", "ring_link_3", "thumb_link_3")
 
 class AllegroKukaReorientation(VecTask):
     use_pd_targets = True
+    # object keypoint offsets in units of keypoint_scale; subtasks override
+    # (reference _object_keypoint_offsets: 4 cube diagonals for
+    # reorientation, a single centroid for regrasping/throw)
+    KP_OFFSETS = ((1, 1, 1), (1, 1, -1), (-1, -1, 1), (-1, -1, -1))
 
     def __init__(self, cfg):
         env = cfg["env"]
@@ -61,14 +65,12 @@ class AllegroKukaReorientation(VecTask):
         )
         self.success_steps = int(env.get("successSteps", 1))
         self.keypoint_scale = float(env.get("keypointScale", 1.5)) * OBJ_SIZE
-        # 4 cube-diagonal keypoints (allegro_kuka_reorientation.py)
         self.keypoint_offsets = (
-            jnp.asarray(
-                [[1, 1, 1], [1, 1, -1], [-1, -1, 1], [-1, -1, -1]], jnp.float32
-            )
-            * self.keypoint_scale
+            jnp.asarray(self.KP_OFFSETS, jnp.float32) * self.keypoint_scale
         )
-        self.num_obs = 117
+        self.num_keypoints = len(self.KP_OFFSETS)
+        # full_state composition (:185-232): 93 fixed dims + 6 per keypoint
+        self.num_obs = 93 + 6 * self.num_keypoints
         self.num_acts = 23
         super().__init__(cfg)
         self._setup()
@@ -167,14 +169,16 @@ class AllegroKukaReorientation(VecTask):
         return pos, randomize_rotation(rr[0], rr[1])
 
     def sample_init(self, rng):
-        return self._init_with_tolerance(rng, jnp.asarray(self.success_tolerance))
+        return self._init_with_tolerance(
+            rng, jnp.asarray(self.success_tolerance)
+        )
 
     def resample_init(self, rng, old_task):
         """Success-tolerance curriculum persists across resets
         (reference _extra_curriculum + get/set_env_state :472-494)."""
         return self._init_with_tolerance(rng, old_task["tolerance"])
 
-    def _init_with_tolerance(self, rng, tolerance):
+    def _init_with_tolerance(self, rng, tolerance, successes=None):
         m = self.model
         kd, kv, ko, ky, kg, kk = jax.random.split(rng, 6)
         nd = 23
@@ -206,8 +210,11 @@ class AllegroKukaReorientation(VecTask):
             "closest_kp_dist": -jnp.ones(()),
             "tolerance": tolerance,
             "targets": dof,
+            "last_success": jnp.zeros((), bool),
             "key": kk,
         }
+        if successes is not None:
+            task["successes"] = successes
         return q, qd, task
 
     # ---- control: PD position targets over all 23 dofs -----------------
@@ -220,8 +227,9 @@ class AllegroKukaReorientation(VecTask):
 
     # ---- observations (full_state composition :185-232) ----------------
     def _keypoints(self, pos, quat):
+        nk = self.num_keypoints
         return pos[None, :] + maths.quat_rotate(
-            jnp.broadcast_to(quat, (4, 4)), self.keypoint_offsets
+            jnp.broadcast_to(quat, (nk, 4)), self.keypoint_offsets
         )
 
     def observe(self, q, qd, kin, sensors, task, actions, progress):
@@ -353,6 +361,7 @@ class AllegroKukaReorientation(VecTask):
             "closest_kp_dist": closest_kp,
             "tolerance": tolerance,
             "targets": task["targets"],
+            "last_success": is_success,
             "key": key,
         }
         return reward, done, new_task
@@ -364,3 +373,48 @@ class AllegroKukaReorientation(VecTask):
 
     def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
         return {"true_objective": task["successes"]}
+
+
+class AllegroKukaRegrasping(AllegroKukaReorientation):
+    """Regrasping subtask: position-only goal (single centroid keypoint);
+    each success puts the object back on the table for another grasp.
+
+    Parity target: reference allegro_kuka_regrasping.py
+    (_object_keypoint_offsets = [[0,0,0]] :49-51; _reset_target resets
+    the object pose to the table and clears the lifted flag on every
+    goal reset :77-100). TPU-shaped divergence: the object return to the
+    table is an episode boundary (full env re-init) with the consecutive-
+    success count and tolerance carried through `resample_init`, instead
+    of a mid-episode root-state write.
+    """
+
+    KP_OFFSETS = ((0, 0, 0),)
+
+    def resample_init(self, rng, old_task):
+        carry = old_task["last_success"]
+        successes = jnp.where(carry, old_task["successes"], 0.0)
+        return self._init_with_tolerance(
+            rng, old_task["tolerance"], successes=successes
+        )
+
+    def reward_done(self, obs, q, qd, kin, sensors, task, actions, progress):
+        reward, done, new_task = super().reward_done(
+            obs, q, qd, kin, sensors, task, actions, progress
+        )
+        # success ends the episode (object goes back on the table)
+        return reward, done | new_task["last_success"], new_task
+
+
+class AllegroKukaThrow(AllegroKukaRegrasping):
+    """Throw subtask: the target bucket sits outside the arm's reach, so
+    the object must be thrown (reference allegro_kuka_throw.py: goal
+    volume displaced far from the table; single centroid keypoint; the
+    lifting stage still gates the keypoint reward)."""
+
+    def _setup(self):
+        super()._setup()
+        # bucket volume well beyond the reachable workspace
+        # (allegro_kuka_throw.py _reset_target: x/y in [-1, 1] x [1.1, 2])
+        self.vol_origin = jnp.array([0.0, 1.5, 0.35])
+        self.vol_lo = jnp.array([-1.0, -0.4, -0.1])
+        self.vol_hi = jnp.array([1.0, 0.5, 0.1])

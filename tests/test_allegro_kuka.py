@@ -69,3 +69,25 @@ def test_tolerance_curriculum_persists_across_resets():
         state, obs, rew, done, ex = step(state, jnp.zeros((4, 23)))
     # resample_init carried the tightened tolerance through resets
     assert np.allclose(np.asarray(state.task["tolerance"]), 0.02)
+
+
+def test_regrasping_success_ends_episode_and_carries_successes():
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(["task=AllegroKukaRegrasping", "num_envs=4"])["task"]
+    env = task_map["AllegroKukaRegrasping"](cfg)
+    assert env.num_keypoints == 1 and env.num_obs == 99
+    state, obs = env.reset(jax.random.PRNGKey(3))
+    # fake a success flag + accumulated successes, then force a reset
+    task = dict(state.task)
+    task["last_success"] = jnp.array([True, False, False, False])
+    task["successes"] = jnp.array([3.0, 2.0, 0.0, 0.0])
+    state = state.replace(
+        task=task, reset_buf=jnp.array([True, True, False, False])
+    )
+    step = jax.jit(env.step)
+    state, obs, rew, done, ex = step(state, jnp.zeros((4, 23)))
+    succ = np.asarray(state.task["successes"])
+    # env 0 reset after a success -> count carried; env 1 reset after a
+    # failure -> count cleared
+    assert succ[0] == 3.0 and succ[1] == 0.0

@@ -31,6 +31,8 @@ def make(name, num_envs=8, **env_kw):
         ("AllegroHand", 88, 16),
         ("AllegroHandDextremeADR", 47, 16),
         ("AllegroKukaReorientation", 117, 23),
+        ("AllegroKukaRegrasping", 99, 23),
+        ("AllegroKukaThrow", 99, 23),
         ("AnymalTerrain", 188, 12),
         ("HumanoidAMP", 105, 28),
         ("FactoryTaskNutBoltPick", 20, 12),
