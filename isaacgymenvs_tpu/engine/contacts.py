@@ -397,12 +397,46 @@ def solve_contacts(
     return SolveOut(qd=qd, impulse=impulse, x=con.x, qfrc=qfrc)
 
 
+def _group_mats(nc: int):
+    """Static selection/expansion matrices between flat constraint rows
+    (nc*3, contact-major t1,t2,n) and per-contact scalars (nc,).
+
+    The projection is phrased as tiny matmuls with these so the APGD
+    iteration NEVER reshapes (n,) <-> (nc, 3): on TPU that reshape is a
+    full relayout (3-lane minor dim pads to 128) and measured ~0.15 ms per
+    iteration at 4096 envs; the matmuls are MXU-trivial."""
+    n = nc * 3
+    Gn = np.zeros((nc, n), np.float32)
+    Gn[np.arange(nc), 2 + 3 * np.arange(nc)] = 1.0  # select normal rows
+    Gt = np.zeros((nc, n), np.float32)  # sum over the 2 tangent rows
+    Gt[np.arange(nc), 3 * np.arange(nc)] = 1.0
+    Gt[np.arange(nc), 1 + 3 * np.arange(nc)] = 1.0
+    tmask = Gt.sum(0)  # (n,) 1 on tangent rows
+    nmask = Gn.sum(0)  # (n,) 1 on normal rows
+    return jnp.asarray(Gn), jnp.asarray(Gt), jnp.asarray(tmask), jnp.asarray(nmask)
+
+
+def _project_flat(y, mu, active_f, bilateral, Gn, Gt, tmask, nmask):
+    """Friction-cone projection on flat (nc*3,) vectors (see _group_mats)."""
+    lnc = Gn @ y  # (nc,) normal components
+    ln = jnp.where(bilateral > 0, lnc, jnp.maximum(lnc, 0.0))
+    lt_norm = jnp.sqrt(Gt @ (y * y * tmask) + 1e-12)
+    scale = jnp.where(
+        bilateral > 0, 1.0, jnp.minimum(1.0, mu * ln / lt_norm)
+    )
+    out = y * (Gt.T @ scale) * tmask + Gn.T @ ln
+    return out * active_f
+
+
 def _solve_apgd(
     A, b, mu, active, bilateral, params: SimParams, warm=None
 ) -> jax.Array:
     nc = b.shape[0]
     n = nc * 3
     bf = b.reshape(n)
+    Gn, Gt, tmask, nmask = _group_mats(nc)
+    Gc = Gn + Gt  # (nc, n) full per-contact membership
+    active_f = Gc.T @ active.astype(jnp.float32)  # (n,)
     # Lipschitz upper bound: inf-norm row sum of A (cheap, safe)
     L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), 1e-8)
     step = 1.0 / L
@@ -416,19 +450,20 @@ def _solve_apgd(
         [(t[k] - 1.0) / t[k + 1] for k in range(iters)], jnp.float32
     )
 
+    def proj(y):
+        return _project_flat(y, mu, active_f, bilateral, Gn, Gt, tmask, nmask)
+
     def it(carry, beta):
         lam, y = carry
         g = A @ y + bf
-        lam_new = _project(
-            (y - step * g).reshape(nc, 3), mu, active, bilateral
-        ).reshape(n)
+        lam_new = proj(y - step * g)
         y = lam_new + beta * (lam_new - lam)
         return (lam_new, y), None
 
     if warm is None:
         lam0 = jnp.zeros(n)
     else:
-        lam0 = _project(warm, mu, active, bilateral).reshape(n)
+        lam0 = proj(warm.reshape(n))
     (lam, _), _ = jax.lax.scan(it, (lam0, lam0), betas)
     return lam.reshape(nc, 3)
 
