@@ -1,0 +1,823 @@
+"""Fused whole-physics-step TPU kernel (Pallas).
+
+The vmap-of-small-ops engine (`physics_step` in step.py) emits hundreds of
+tiny XLA fusions per substep; each carries fixed launch overhead and pads
+its small minor dims to (8, 128) tiles, and the APGD iteration re-reads the
+dense Delassus matrix from HBM every iteration (measured 73 ms of a 227 ms
+10-step Ant trace).  This module re-expresses ONE WHOLE physics step
+(all substeps) as a single Pallas kernel over tiles of envs:
+
+  layout      every per-env scalar row is laid out (feature_rows, TILE)
+              with envs on the 128-wide lane axis -- no padded minor dims;
+  residency   the mass matrix, its inverse, the contact Jacobian and the
+              Delassus operator live in VMEM across ALL solver iterations;
+  unrolling   bodies/dofs/contacts are unrolled at trace time from the
+              static Model topology (same trick as the vmap engine), so
+              the kernel is specialized per model and branch-free.
+
+Algorithm matches engine/step.py + engine/contacts.py semantics (world-
+origin Featherstone CRBA -> implicit drives -> plane contacts -> APGD cone
+QP with warm start -> semi-implicit Euler), with one documented divergence:
+the SPD solve uses a vectorized Gauss-Jordan inverse instead of unrolled
+Cholesky (same result up to fp rounding, far fewer ops in lane layout).
+
+Reference mapping: this is the TPU replacement for the PhysX GPU solver the
+reference drives via gym.simulate (isaacgymenvs/tasks/base/vec_task.py:382,
+cfg/task/Ant.yaml:43-53) -- the "hot inner loops as Pallas kernels" item of
+SURVEY.md section 7.
+
+Supported feature set (see `fused_supported`): plane contacts from
+candidate points, scalar/free/fixed joints, tendons, implicit PD drives,
+external body wrenches, joint limits.  Pair contacts / terrain / bilateral
+anchors / per-env model leaves (DR) fall back to the vmap engine.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model.spec import FIXED, FREE, HINGE, SLIDE, Model
+from . import dynamics as _dyn
+from .dynamics import SimParams
+
+TILE = 128  # envs per kernel instance (lane width)
+
+
+class FusedOut(NamedTuple):
+    """Batched step outputs, env-leading (N, ...) like the vmap path."""
+
+    q: jax.Array  # (N, nq)
+    qd: jax.Array  # (N, nv)
+    body_force: jax.Array  # (N, nbody, 3)
+    body_torque: jax.Array  # (N, nbody, 3)
+    dof_force: jax.Array  # (N, nv)
+
+
+def fused_supported(model: Model, params: SimParams, terrain) -> bool:
+    """True when the fused kernel covers this model's feature set."""
+    return (
+        terrain is None
+        and params.solver == "apgd"
+        and not model.pair_geom_a
+        and not model.ppair_point
+        and not model.att_body
+        and (model.ncp == 0 or model.plane_contacts)
+    )
+
+
+# ---------------------------------------------------------------------------
+# component-first helpers: vectors are python lists of (rows, T) arrays
+# ---------------------------------------------------------------------------
+
+
+def _cross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def _qmul(a, b):
+    x1, y1, z1, w1 = a
+    x2, y2, z2, w2 = b
+    return [
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ]
+
+
+def _qrot(q, v):
+    """Rotate vector v (3 comps) by quaternion q (4 comps, xyzw)."""
+    xyz, w = q[:3], q[3]
+    t = [2.0 * c for c in _cross(xyz, v)]
+    u = _cross(xyz, t)
+    return [v[k] + w * t[k] + u[k] for k in range(3)]
+
+
+def _qnormalize(q):
+    n = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    inv = 1.0 / jnp.maximum(n, 1e-9)
+    return [c * inv for c in q]
+
+
+def _qexp(phi):
+    """Rotation vector -> quaternion, Taylor-safe at 0 (maths.quat_exp)."""
+    a2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
+    angle = jnp.sqrt(jnp.maximum(a2, 1e-24))
+    half = 0.5 * angle
+    small = a2 < 1e-12
+    s = jnp.where(small, 0.5 - a2 / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - a2 / 8.0, jnp.cos(half))
+    return [phi[0] * s, phi[1] * s, phi[2] * s, w]
+
+
+# ---------------------------------------------------------------------------
+# static model extraction (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+class _Spec(NamedTuple):
+    nbody: int
+    nq: int
+    nv: int
+    nc: int
+    parent: np.ndarray
+    jnt_type: np.ndarray
+    q_adr: np.ndarray
+    v_adr: np.ndarray
+    dof_body: np.ndarray
+    body_pos: np.ndarray  # (nbody, 3)
+    body_quat: np.ndarray
+    body_ipos: np.ndarray
+    body_inertia: np.ndarray  # (nbody, 3, 3)
+    body_mass: np.ndarray
+    jnt_axis: np.ndarray
+    jnt_pos: np.ndarray
+    armature: np.ndarray
+    dof_damping: np.ndarray
+    dof_stiffness: np.ndarray
+    dof_limit_lower: np.ndarray
+    dof_limit_upper: np.ndarray
+    dof_limited: np.ndarray
+    qpos0: np.ndarray
+    sq_adr: np.ndarray  # per-dof q index (-1 = free dof)
+    dof_mask: np.ndarray  # (nv, nv) lower ancestor mask
+    anc: np.ndarray  # (nbody, nbody) ancestor-or-self
+    int_mat: np.ndarray  # (nq, nv)
+    # contacts
+    cp_body: np.ndarray
+    cp_pos: np.ndarray
+    cp_radius: np.ndarray
+    cp_mu: np.ndarray
+    path_mask: np.ndarray  # (nc, nv) contact-path dof mask
+    body_of_contact: np.ndarray  # (nbody, nc) 0/1 accumulation matrix
+    # tendons
+    tendon_coef: np.ndarray | None
+    tendon_range: np.ndarray | None
+    tendon_stiffness: np.ndarray | None
+    tendon_damping: np.ndarray | None
+    free_bodies: tuple
+
+
+def _extract(model: Model) -> _Spec:
+    g = lambda x: np.asarray(jax.device_get(x), np.float32)
+    anc = _dyn.ancestor_matrix(model)
+    dof_mask = _dyn.dof_ancestor_mask(model)
+    meta = _dyn.kin_meta(model)
+    sq = _dyn.scalar_dof_q_adr(model)
+    nc = model.ncp if (model.ncp and model.plane_contacts) else 0
+    if nc:
+        cp_body = np.asarray(model.cpoint_body)
+        path_mask = anc[cp_body][:, np.asarray(model.dof_body)].astype(np.float32)
+        boc = np.zeros((model.nbody, nc), np.float32)
+        boc[cp_body, np.arange(nc)] = 1.0
+        cp_pos, cp_radius, cp_mu = (
+            g(model.cpoint_pos),
+            g(model.cpoint_radius),
+            g(model.cpoint_friction),
+        )
+    else:
+        cp_body = np.zeros(0, np.int64)
+        path_mask = np.zeros((0, model.nv), np.float32)
+        boc = np.zeros((model.nbody, 0), np.float32)
+        cp_pos = np.zeros((0, 3), np.float32)
+        cp_radius = np.zeros(0, np.float32)
+        cp_mu = np.zeros(0, np.float32)
+    has_t = model.tendon_coef is not None and model.tendon_coef.shape[0]
+    return _Spec(
+        nbody=model.nbody,
+        nq=model.nq,
+        nv=model.nv,
+        nc=nc,
+        parent=np.asarray(model.body_parent),
+        jnt_type=np.asarray(model.jnt_type),
+        q_adr=np.asarray(model.q_adr),
+        v_adr=np.asarray(model.v_adr),
+        dof_body=np.asarray(model.dof_body),
+        body_pos=g(model.body_pos),
+        body_quat=g(model.body_quat),
+        body_ipos=g(model.body_ipos),
+        body_inertia=g(model.body_inertia),
+        body_mass=g(model.body_mass),
+        jnt_axis=g(model.jnt_axis),
+        jnt_pos=g(model.jnt_pos),
+        armature=g(model.armature),
+        dof_damping=g(model.dof_damping),
+        dof_stiffness=g(model.dof_stiffness),
+        dof_limit_lower=g(model.dof_limit_lower),
+        dof_limit_upper=g(model.dof_limit_upper),
+        dof_limited=g(model.dof_limited),
+        qpos0=g(model.qpos0),
+        sq_adr=sq,
+        dof_mask=dof_mask,
+        anc=anc,
+        int_mat=meta.int_mat,
+        cp_body=cp_body,
+        cp_pos=cp_pos,
+        cp_radius=cp_radius,
+        cp_mu=cp_mu,
+        path_mask=path_mask,
+        body_of_contact=boc,
+        tendon_coef=g(model.tendon_coef) if has_t else None,
+        tendon_range=g(model.tendon_range) if has_t else None,
+        tendon_stiffness=g(model.tendon_stiffness) if has_t else None,
+        tendon_damping=g(model.tendon_damping) if has_t else None,
+        free_bodies=meta.free_bodies,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the substep math (pure jnp on (rows, T) arrays; Mosaic-compatible ops only)
+# ---------------------------------------------------------------------------
+
+
+def _dotc(const_mat: np.ndarray, x: jax.Array) -> jax.Array:
+    """(a, b) const @ (b, T) -> (a, T)."""
+    return jax.lax.dot_general(
+        jnp.asarray(const_mat),
+        x,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fk(s: _Spec, q, qd):
+    """Per-body unrolled FK. q (nq, T), qd (nv, T).
+
+    Returns X, Q, V (lists per body of comp lists), S/Sdot (6 x (nv, T)).
+    World/origin spatial coordinates exactly as dynamics.forward_kinematics.
+    """
+    T = q.shape[-1]
+    zero = jnp.zeros((1, T))
+    one = jnp.ones((1, T))
+    X, Qt, V = [], [], []
+    S_rows = [None] * s.nv  # each: list of 6 comps, (1, T)
+    Sd_rows = [None] * s.nv
+    for i in range(s.nbody):
+        p = s.parent[i]
+        if p == -1:
+            xp = [zero] * 3
+            qp = [zero, zero, zero, one]
+            vp = [zero] * 6
+        else:
+            xp, qp, vp = X[p], Qt[p], V[p]
+        w_p, vo_p = vp[:3], vp[3:]
+        bp = [float(s.body_pos[i, k]) * one for k in range(3)]
+        bq = [float(s.body_quat[i, k]) * one for k in range(4)]
+        X_x = [xp[k] + r for k, r in enumerate(_qrot(qp, bp))]
+        X_q = _qmul(qp, bq)
+        jt = s.jnt_type[i]
+        qa, va = int(s.q_adr[i]), int(s.v_adr[i])
+        if jt == FREE:
+            xi = [q[qa + k][None] for k in range(3)]
+            qi = _qnormalize([q[qa + 3 + k][None] for k in range(4)])
+            vel_lin = [qd[va + k][None] for k in range(3)]
+            omega = [qd[va + 3 + k][None] for k in range(3)]
+            cwx = _cross(omega, xi)
+            vi = omega + [vel_lin[k] - cwx[k] for k in range(3)]
+            # rows 0-2: translations (0, e_k); rows 3-5: rotations (e_k, x cross e_k)
+            for k in range(3):
+                row = [zero] * 6
+                row[3 + k] = one
+                S_rows[va + k] = row
+                Sd_rows[va + k] = [zero] * 6
+            ex = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+            for k in range(3):
+                cxe = _cross(xi, ex[k])
+                S_rows[va + 3 + k] = ex[k] + cxe
+                cve = _cross(vel_lin, ex[k])
+                Sd_rows[va + 3 + k] = [zero] * 3 + cve
+        elif jt in (HINGE, SLIDE):
+            ax = [float(s.jnt_axis[i, k]) * one for k in range(3)]
+            jp = [float(s.jnt_pos[i, k]) * one for k in range(3)]
+            sq_i = q[qa][None]
+            sqd = qd[va][None]
+            ax_w = _qrot(X_q, ax)
+            if jt == HINGE:
+                half = 0.5 * sq_i
+                sin_h, cos_h = jnp.sin(half), jnp.cos(half)
+                jq = [ax[k] * sin_h for k in range(3)] + [cos_h]
+                qi = _qmul(X_q, jq)
+                anchor = [X_x[k] + r for k, r in enumerate(_qrot(X_q, jp))]
+                xi = [anchor[k] - r for k, r in enumerate(_qrot(qi, jp))]
+                Srow = ax_w + _cross(anchor, ax_w)
+                ax_dot = _cross(w_p, ax_w)
+                v_anchor = [vo_p[k] + c for k, c in enumerate(_cross(w_p, anchor))]
+                cva = _cross(v_anchor, ax_w)
+                cad = _cross(anchor, ax_dot)
+                Sdrow = ax_dot + [cva[k] + cad[k] for k in range(3)]
+            else:  # SLIDE
+                qi = X_q
+                xi = [X_x[k] + ax_w[k] * sq_i for k in range(3)]
+                Srow = [zero] * 3 + ax_w
+                Sdrow = [zero] * 3 + _cross(w_p, ax_w)
+            vi = [vp[k] + Srow[k] * sqd for k in range(6)]
+            S_rows[va] = Srow
+            Sd_rows[va] = Sdrow
+        else:  # FIXED
+            xi, qi, vi = X_x, X_q, vp
+        X.append(xi)
+        Qt.append(qi)
+        V.append(vi)
+    S = [jnp.concatenate([S_rows[d][k] for d in range(s.nv)], 0) for k in range(6)]
+    Sdot = [
+        jnp.concatenate([Sd_rows[d][k] for d in range(s.nv)], 0) for k in range(6)
+    ]
+    return X, Qt, V, S, Sdot
+
+
+def _stackb(lst_of_comp, k):
+    """Stack component k of a per-body list -> (nbody, T)."""
+    return jnp.concatenate([b[k] for b in lst_of_comp], 0)
+
+
+def _spatial_inertia(s: _Spec, Xb, Qb):
+    """World-origin 6x6 spatial inertia entries Io[r][k]: (nbody, T) each.
+
+    Mirrors maths.spatial_inertia_at_origin: with c = world CoM,
+    Io = [[Iw - m cx cx, m cx], [-m cx, m I]].
+    """
+    x, y, z, w = (Qb[k] for k in range(4))
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    R = [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+    ipos = [s.body_ipos[:, k:k + 1] for k in range(3)]  # (nbody, 1) consts
+    ipos = [jnp.asarray(c) for c in ipos]
+    com = [
+        Xb[k] + sum(R[k][j] * ipos[j] for j in range(3)) for k in range(3)
+    ]
+    # Iw = R I R^T (I const per body)
+    Ib = [[jnp.asarray(s.body_inertia[:, a:a + 1, b].copy()) for b in range(3)] for a in range(3)]
+    RI = [[sum(R[a][c] * Ib[c][b] for c in range(3)) for b in range(3)] for a in range(3)]
+    Iw = [[sum(RI[a][c] * R[b][c] for c in range(3)) for b in range(3)] for a in range(3)]
+    m = jnp.asarray(s.body_mass[:, None])
+    cx, cy, cz = com
+    # m * cx_mat @ cx_mat  (cx_mat = skew(c))
+    c2 = cx * cx + cy * cy + cz * cz
+    Io = [[None] * 6 for _ in range(6)]
+    for a in range(3):
+        for b in range(3):
+            # -m (cxcx)[a,b] = m (c.c delta_ab - c_a c_b)
+            corr = m * ((c2 if a == b else 0.0) - com[a] * com[b])
+            Io[a][b] = Iw[a][b] + corr
+    # top-right m*skew(c); bottom-left -m*skew(c); bottom-right m I
+    sk = [[0.0, -cz, cy], [cz, 0.0, -cx], [-cy, cx, 0.0]]
+    zero = jnp.zeros_like(cx)
+    for a in range(3):
+        for b in range(3):
+            v = sk[a][b]
+            val = zero if isinstance(v, float) else m * v
+            Io[a][3 + b] = val
+            Io[3 + a][b] = -val
+            Io[3 + a][3 + b] = m * (1.0 if a == b else 0.0) * jnp.ones_like(cx)
+    return Io, com
+
+
+def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
+                has_xfrc: bool, has_qt: bool):
+    """Build the single-substep function for this model."""
+    children = [[] for _ in range(s.nbody)]
+    for i in range(s.nbody):
+        if s.parent[i] != -1:
+            children[s.parent[i]].append(i)
+    rev_topo = list(range(s.nbody))[::-1]
+    dof_of_body = [
+        [d for d in range(s.nv) if s.dof_body[d] == b] for b in range(s.nbody)
+    ]
+    n3 = s.nc * 3
+    erp, erp_att = p.baumgarte_erp, p.baumgarte_erp_attractor
+    # q index per dof for scalar gathers (free dofs -> 0, masked)
+    sel_q = np.zeros((s.nv, s.nq), np.float32)
+    for d in range(s.nv):
+        if s.sq_adr[d] >= 0:
+            sel_q[d, s.sq_adr[d]] = 1.0
+    iters = p.solver_apgd_iterations
+    t_seq = [1.0]
+    for _ in range(iters):
+        t_seq.append(0.5 * (1.0 + float(np.sqrt(1.0 + 4.0 * t_seq[-1] ** 2))))
+    betas = [(t_seq[k] - 1.0) / t_seq[k + 1] for k in range(iters)]
+
+    def _bc3(arr2d: np.ndarray, T: int) -> jax.Array:
+        """Lane-tiled 3-D constant (a, b, T): Mosaic rejects reshapes/
+        broadcasts of captured (a, b, 1) constants, so materialize the
+        lane axis host-side (these masks are small)."""
+        a = np.asarray(arr2d, np.float32)
+        return jnp.asarray(np.broadcast_to(a[:, :, None], (*a.shape, T)).copy())
+
+    def substep(q, qd, qfrc, xfrc, q_target, warm):
+        T = q.shape[-1]
+        Xl, Ql, Vl, S, Sdot = _fk(s, q, qd)
+        Xb = [_stackb(Xl, k) for k in range(3)]
+        Qb = [_stackb(Ql, k) for k in range(4)]
+        Vb = [_stackb(Vl, k) for k in range(6)]
+        Io, com = _spatial_inertia(s, Xb, Qb)
+
+        # composite inertia via reverse-topological accumulation:
+        # IC[b] = Io[b] + sum_children IC[child]; store per-body slices.
+        ICb = [[[Io[r][k][b:b + 1] for k in range(6)] for r in range(6)]
+               for b in range(s.nbody)]
+        for b in rev_topo:
+            pb = s.parent[b]
+            if pb != -1:
+                for r in range(6):
+                    for k in range(6):
+                        ICb[pb][r][k] = ICb[pb][r][k] + ICb[b][r][k]
+        # F[d] = IC[body(d)] @ S[d] : 6 comps of (nv, T)
+        ICd = [
+            [jnp.concatenate([ICb[s.dof_body[d]][r][k] for d in range(s.nv)], 0)
+             for k in range(6)]
+            for r in range(6)
+        ]
+        F = [sum(ICd[r][k] * S[k] for k in range(6)) for r in range(6)]
+        # M = (F . S) on ancestor pairs, symmetrized
+        Ml = sum(F[r][:, None, :] * S[r][None, :, :] for r in range(6))
+        Ml = Ml * _bc3(s.dof_mask, T)
+        eye3 = _bc3(np.eye(s.nv, dtype=np.float32), T)
+        M = Ml + jnp.swapaxes(Ml, 0, 1) - Ml * eye3
+
+        # bias force: zeta (velocity-product acc) by path accumulation
+        zeta_b = []
+        for i in range(s.nbody):
+            pb = s.parent[i]
+            zet = [jnp.zeros((1, T))] * 6 if pb == -1 else list(zeta_b[pb])
+            for d in dof_of_body[i]:
+                qd_d = qd[d][None]
+                zet = [zet[k] + Sdot[k][d][None] * qd_d for k in range(6)]
+            zeta_b.append(zet)
+        zeta = [jnp.concatenate([z[k] for z in zeta_b], 0) for k in range(6)]
+        a_grav = [0.0, 0.0, 0.0] + [float(g) for g in gravity]
+        x_in = [zeta[k] - a_grav[k] for k in range(6)]
+        net = [sum(Io[r][k] * x_in[k] for k in range(6)) for r in range(6)]
+        # + v x* (Io v)
+        Iov = [sum(Io[r][k] * Vb[k] for k in range(6)) for r in range(6)]
+        wv, vo = Vb[:3], Vb[3:]
+        nIov, pIov = Iov[:3], Iov[3:]
+        c1 = _cross(wv, nIov)
+        c2 = _cross(vo, pIov)
+        c3 = _cross(wv, pIov)
+        for k in range(3):
+            net[k] = net[k] + c1[k] + c2[k]
+            net[3 + k] = net[3 + k] + c3[k]
+        if has_xfrc:
+            for k in range(6):
+                net[k] = net[k] - xfrc[k * s.nbody:(k + 1) * s.nbody]
+        # subtree sums: F_sub = anc^T @ net; dof gather as one-hot matmul
+        # (fancy-index gathers are scatter/gather lowering hazards in Mosaic)
+        ancT = s.anc.T.astype(np.float32)
+        dof_pick = np.zeros((s.nv, s.nbody), np.float32)
+        dof_pick[np.arange(s.nv), s.dof_body] = 1.0
+        F_sub_d = [_dotc(dof_pick @ ancT, net[k]) for k in range(6)]
+        C = sum(S[k] * F_sub_d[k] for k in range(6))
+
+        # passive forces (implicit spring/damping, limits, tendons)
+        q_scalar = _dotc(sel_q, q)
+        setpoint = (
+            _dotc(sel_q, q_target) if has_qt
+            else jnp.asarray((sel_q @ s.qpos0)[:, None])
+        )
+        kstiff = jnp.asarray(s.dof_stiffness[:, None])
+        kdamp = jnp.asarray(s.dof_damping[:, None])
+        limited = jnp.asarray(s.dof_limited[:, None])
+        lo = jnp.asarray(s.dof_limit_lower[:, None])
+        hi = jnp.asarray(s.dof_limit_upper[:, None])
+        tau_p = -kstiff * (q_scalar - setpoint)
+        over = jnp.maximum(q_scalar - hi, 0.0)
+        under = jnp.maximum(lo - q_scalar, 0.0)
+        violating = ((over > 0) | (under > 0)).astype(jnp.float32)
+        tau_p = tau_p + limited * (-p.limit_stiffness * (over - under))
+        D = kdamp + limited * violating * p.limit_damping
+        K = kstiff + limited * violating * p.limit_stiffness
+        if s.tendon_coef is not None:
+            t_val = _dotc(s.tendon_coef, q_scalar)
+            t_vel = _dotc(s.tendon_coef, qd)
+            t_lo = jnp.asarray(s.tendon_range[:, 0:1])
+            t_hi = jnp.asarray(s.tendon_range[:, 1:2])
+            viol = jnp.maximum(t_val - t_hi, 0.0) + jnp.minimum(t_val - t_lo, 0.0)
+            f_t = (
+                -jnp.asarray(s.tendon_stiffness[:, None]) * viol
+                - jnp.asarray(s.tendon_damping[:, None]) * t_vel
+            )
+            tau_p = tau_p + _dotc(s.tendon_coef.T, f_t)
+
+        # Mh = M + diag(h D + h^2 K); invert by vectorized Gauss-Jordan
+        diag_add = jnp.asarray(s.armature[:, None]) + h * D + h * h * K
+        Mh = M + eye3 * diag_add[:, None, :]
+        A_gj = Mh
+        Minv = eye3 + jnp.zeros_like(Mh)
+        # Gauss-Jordan without scatter: with c = col_j - e_j the update
+        # A <- A - c pivA^T handles rows i != j normally AND maps row j to
+        # exactly pivA (row_j - (A_jj - 1) * row_j / A_jj = pivA).  The
+        # one-hot e_j is built from a traced iota, not a captured 3-D
+        # constant (Mosaic rejects lane-moving constant reshapes).
+        T_ = A_gj.shape[-1]
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (s.nv, 1, T_), 0)
+        for j in range(s.nv):
+            row_j = A_gj[j]  # (nv, T)
+            d = 1.0 / row_j[j:j + 1]  # (1, T)
+            pivA = row_j * d  # (nv, T)
+            pivI = Minv[j] * d
+            colA = A_gj[:, j:j + 1, :]  # (nv, 1, T) -- slice, not gather
+            c = colA - (row_iota == j).astype(jnp.float32)
+            A_gj = A_gj - c * pivA[None, :, :]
+            Minv = Minv - c * pivI[None, :, :]
+
+        rhs = qfrc + tau_p - D * qd - C
+        qdd = jnp.sum(Minv * rhs[None, :, :], axis=1)
+        qd_free = qd + h * qdd
+
+        if s.nc == 0:
+            qd_new = jnp.clip(qd_free, -p.max_dof_velocity, p.max_dof_velocity)
+            q_new = _integrate(s, q, qd_new, h)
+            zs = jnp.zeros((s.nbody * 3, T))
+            return q_new, qd_new, warm, zs, zs, jnp.zeros((s.nv, T))
+
+        # ---- contacts: candidate points vs ground plane ----
+        cp_pos = [jnp.asarray(s.cp_pos[:, k:k + 1]) for k in range(3)]
+        # body->contact gathers as one-hot matmuls (Mosaic: no gather)
+        cp_pick = np.zeros((s.nc, s.nbody), np.float32)
+        cp_pick[np.arange(s.nc), s.cp_body] = 1.0
+        bQ = [_dotc(cp_pick, Qb[k]) for k in range(4)]
+        bX = [_dotc(cp_pick, Xb[k]) for k in range(3)]
+        rot = _qrot(bQ, cp_pos)
+        xc = [bX[k] + rot[k] for k in range(3)]  # (nc, T)
+        phi = jnp.asarray(s.cp_radius[:, None]) - xc[2]
+        active = (phi > -p.contact_margin).astype(jnp.float32)
+
+        # J comps (nv, nc, T): point jacobian rows (world frame)
+        S_ang = [S[k] for k in range(3)]
+        S_lin = [S[3 + k] for k in range(3)]
+        Pm = _bc3(s.path_mask.T, T)  # (nv, nc, T)
+        Jc = []
+        for k in range(3):
+            a, b = (k + 1) % 3, (k + 2) % 3
+            crossk = (
+                S_ang[a][:, None, :] * xc[b][None, :, :]
+                - S_ang[b][:, None, :] * xc[a][None, :, :]
+            )
+            Jc.append((S_lin[k][:, None, :] + crossk) * Pm)
+        J = jnp.concatenate(Jc, axis=1)  # (nv, 3nc, T), comp-major rows
+
+        # Delassus A = J^T Minv J  (formed once, VMEM-resident)
+        W = sum(
+            Minv[:, j:j + 1, :] * J[j][None, :, :] for j in range(s.nv)
+        )  # (nv, 3nc, T) = Minv @ J
+        A = sum(J[v][:, None, :] * W[v][None, :, :] for v in range(s.nv))
+        # (the 1e-6 diagonal regularization is folded into the APGD
+        # matvec below -- materializing eye(3nc) lane-tiled wastes VMEM)
+
+        b_vec = jnp.sum(J * qd_free[:, None, :], axis=0)  # (3nc, T)
+        vn_t = jnp.minimum(
+            erp * jnp.maximum(phi, 0.0) / h, p.max_depenetration_velocity
+        )
+        b_vec = jnp.concatenate(
+            [b_vec[: 2 * s.nc], b_vec[2 * s.nc:] - vn_t], 0
+        )
+
+        Lip = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0, keepdims=True) + 1e-6
+        step = 1.0 / jnp.maximum(Lip, 1e-8)
+        mu = jnp.asarray(s.cp_mu[:, None])
+
+        def project(y):
+            ln = jnp.maximum(y[2 * s.nc:], 0.0)
+            t1, t2 = y[: s.nc], y[s.nc:2 * s.nc]
+            tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-12)
+            sc = jnp.minimum(1.0, mu * ln / tn) * active
+            return jnp.concatenate([t1 * sc, t2 * sc, ln * active], 0)
+
+        lam = project(warm)
+        y = lam
+        for beta in betas:
+            g_vec = jnp.sum(A * y[None, :, :], axis=1) + 1e-6 * y + b_vec
+            lam_new = project(y - step * g_vec)
+            y = lam_new + beta * (lam_new - lam)
+            lam = lam_new
+
+        qfrc_con = jnp.sum(J * lam[None, :, :], axis=1)  # (nv, T)
+        dqd = jnp.sum(Minv * qfrc_con[None, :, :], axis=1)
+        qd_new = jnp.clip(
+            qd_free + dqd, -p.max_dof_velocity, p.max_dof_velocity
+        )
+        q_new = _integrate(s, q, qd_new, h)
+
+        # sensors: per-body contact force/torque (world), dof force
+        inv_h = 1.0 / h
+        Fc = [lam[k * s.nc:(k + 1) * s.nc] * inv_h for k in range(3)]
+        boc = s.body_of_contact
+        bf = [_dotc(boc, Fc[k]) for k in range(3)]
+        rel = [xc[k] - bX[k] for k in range(3)]
+        tq_c = _cross(rel, Fc)
+        bt = [_dotc(boc, tq_c[k]) for k in range(3)]
+        body_force = jnp.concatenate(bf, 0)  # (nbody*3, T) comp-major
+        body_torque = jnp.concatenate(bt, 0)
+        return q_new, qd_new, lam, body_force, body_torque, qfrc_con * inv_h
+
+    return substep
+
+
+def _integrate(s: _Spec, q, qd_new, h):
+    q_new = q + h * _dotc(s.int_mat, qd_new)
+    for i in s.free_bodies:
+        qa, va = int(s.q_adr[i]), int(s.v_adr[i])
+        omega = [qd_new[va + 3 + k][None] * h for k in range(3)]
+        dq = _qexp(omega)
+        quat = _qnormalize([q[qa + 3 + k][None] for k in range(4)])
+        qn = _qnormalize(_qmul(dq, quat))
+        # static-slice row replacement via concat (Mosaic: no scatter)
+        q_new = jnp.concatenate(
+            [q_new[: qa + 3], jnp.concatenate(qn, 0), q_new[qa + 7:]], 0
+        )
+    return q_new
+
+
+# ---------------------------------------------------------------------------
+# pallas wrapper
+# ---------------------------------------------------------------------------
+
+
+def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
+    n_slices = p.substeps * p.solver_iterations
+    h = p.dt / n_slices
+    gravity = np.asarray(jax.device_get(p.gravity), np.float32)
+    substep = _substep_fn(s, p, h, gravity, has_xfrc, has_qt)
+
+    def run(q, qd, qfrc, xfrc, q_target):
+        T = q.shape[-1]
+        warm = jnp.zeros((s.nc * 3, T))
+        bf = bt = doff = None
+        for _ in range(n_slices):
+            q, qd, warm, bf, bt, doff = substep(
+                q, qd, qfrc, xfrc, q_target, warm
+            )
+        return q, qd, bf, bt, doff
+
+    return run
+
+
+_CACHE: dict = {}
+
+
+def physics_step_fused(
+    model: Model,
+    params: SimParams,
+    q: jax.Array,  # (N, nq)
+    qd: jax.Array,  # (N, nv)
+    qfrc: jax.Array,  # (N, nv)
+    xfrc: jax.Array | None = None,  # (N, nbody, 6)
+    q_target: jax.Array | None = None,  # (N, nq)
+    use_pallas: bool | None = None,
+) -> FusedOut:
+    """Batched full physics step via the fused kernel.
+
+    Inputs/outputs are env-leading like the vmap path; internally arrays
+    are transposed to (rows, N) and tiled over the env-lane axis.
+    """
+    N = q.shape[0]
+    key = (id(model), id(params), N, xfrc is not None, q_target is not None)
+    if key not in _CACHE:
+        _CACHE[key] = _build_call(model, params, N, xfrc is not None,
+                                  q_target is not None, use_pallas)
+    return _CACHE[key](q, qd, qfrc, xfrc, q_target)
+
+
+def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
+    s = _extract(model)
+    run = _step_math(s, params, has_xfrc, has_qt)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    Np = ((N + TILE - 1) // TILE) * TILE
+    grid = Np // TILE
+    nb3 = s.nbody * 3
+
+    in_rows = [s.nq, s.nv, s.nv]
+    if has_xfrc:
+        in_rows.append(6 * s.nbody)
+    if has_qt:
+        in_rows.append(s.nq)
+    n_in = len(in_rows)
+
+    def run_flat(*args):
+        q, qd, qfrc = args[0], args[1], args[2]
+        i = 3
+        xfrc = args[i] if has_xfrc else None
+        i += int(has_xfrc)
+        qt = args[i] if has_qt else None
+        q2, qd2, bf, bt, doff = run(q, qd, qfrc, xfrc, qt)
+        T = q.shape[-1]
+        zs = jnp.zeros((nb3, T))
+        return (
+            q2, qd2,
+            bf if bf is not None else zs,
+            bt if bt is not None else zs,
+            doff if doff is not None else jnp.zeros((s.nv, T)),
+        )
+
+    # Pallas kernels cannot close over array constants (the whole static
+    # Model lives in them) -- trace the step math once, hoist every jaxpr
+    # constant into an explicit kernel input, then shuttle them in as
+    # full-block VMEM operands replicated across the env-tile grid.
+    from jax import core as _core
+
+    example = [
+        jax.ShapeDtypeStruct((r, TILE), jnp.float32) for r in in_rows
+    ]
+    closed_jaxpr = jax.make_jaxpr(run_flat)(*example)
+    consts = closed_jaxpr.consts
+    const_ins = []
+    for c in consts:
+        arr = np.asarray(jax.device_get(c))
+        if arr.ndim < 2 or arr.dtype != np.float32:
+            # the step math is written so every captured constant is a
+            # >=2-D float32 array (Mosaic rejects lane-moving reshapes
+            # and non-f32 VMEM operands); anything else is a bug there
+            raise NotImplementedError(
+                f"fused kernel constant {arr.shape} {arr.dtype} needs a "
+                "Mosaic-safe formulation in _substep_fn"
+            )
+        # keep as numpy: jnp.asarray under an active jit trace returns a
+        # tracer, and _CACHE outlives the trace (UnexpectedTracerError)
+        const_ins.append(np.ascontiguousarray(arr))
+
+    def kernel(*refs):
+        vals = [r[...] for r in refs[: n_in]]
+        cvals = [r[...] for r in refs[n_in: n_in + len(const_ins)]]
+        qo, qdo, bfo, bto, dfo = refs[n_in + len(const_ins):]
+        q2, qd2, bf, bt, doff = _core.eval_jaxpr(
+            closed_jaxpr.jaxpr, cvals, *vals
+        )
+        qo[...] = q2
+        qdo[...] = qd2
+        bfo[...] = bf
+        bto[...] = bt
+        dfo[...] = doff
+
+    def call(q, qd, qfrc, xfrc, q_target):
+        def prep(a, rows):
+            at = a.reshape(N, rows).T  # (rows, N)
+            if Np != N:
+                at = jnp.pad(at, ((0, 0), (0, Np - N)), mode="edge")
+            return at
+
+        ins = [prep(q, s.nq), prep(qd, s.nv), prep(qfrc, s.nv)]
+        if has_xfrc:
+            # (N, nbody, 6) -> comp-major rows (6*nbody, N) matching kernel
+            xf = jnp.transpose(xfrc, (2, 1, 0)).reshape(6 * s.nbody, N)
+            if Np != N:
+                xf = jnp.pad(xf, ((0, 0), (0, Np - N)), mode="edge")
+            ins.append(xf)
+        if has_qt:
+            ins.append(prep(q_target, s.nq))
+
+        out_rows = [s.nq, s.nv, nb3, nb3, s.nv]
+        if use_pallas:
+            bspec = lambda rows: pl.BlockSpec(
+                (rows, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+            cspec = lambda shp: pl.BlockSpec(
+                shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=[bspec(a.shape[0]) for a in ins]
+                + [cspec(c.shape) for c in const_ins],
+                out_specs=tuple(bspec(r) for r in out_rows),
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct((r, Np), jnp.float32) for r in out_rows
+                ),
+            )(*ins, *const_ins)
+        else:
+            q2, qd2, bf, bt, doff = run(
+                ins[0], ins[1], ins[2],
+                ins[3] if has_xfrc else None,
+                ins[3 + int(has_xfrc)] if has_qt else None,
+            )
+            zs = jnp.zeros((nb3, Np))
+            outs = (
+                q2, qd2,
+                bf if bf is not None else zs,
+                bt if bt is not None else zs,
+                doff if doff is not None else jnp.zeros((s.nv, Np)),
+            )
+        q2, qd2, bf, bt, doff = [o[:, :N] for o in outs]
+        # body force/torque comp-major rows -> (N, nbody, 3)
+        bf = jnp.transpose(bf.reshape(3, s.nbody, N), (2, 1, 0))
+        bt = jnp.transpose(bt.reshape(3, s.nbody, N), (2, 1, 0))
+        return FusedOut(
+            q=q2.T, qd=qd2.T, body_force=bf, body_torque=bt, dof_force=doff.T
+        )
+
+    return call

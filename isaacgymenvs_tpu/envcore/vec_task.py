@@ -32,6 +32,7 @@ from flax import struct
 
 from ..engine import SimParams, SimState, physics_step
 from ..engine import dynamics as _dyn
+from ..engine import fused as _fused
 from ..model.spec import Model
 
 
@@ -122,6 +123,14 @@ class VecTask:
             self.adr = ADR(adr_cfg, self.num_envs)
         # env-step dt as seen by the task (vec_task control_freq_inv semantics)
         self.dt = self.sim_params.dt * self.control_freq_inv
+        # fused whole-step Pallas kernel (engine/fused.py): "auto" uses it
+        # on TPU when the model's feature set is covered; True forces the
+        # fused math path on any backend; False always vmaps the engine
+        sim_cfg = cfg.get("sim", {}) or {}
+        self.use_fused = sim_cfg.get("use_fused", "auto")
+        self._fused_capable = _fused.fused_supported(
+            self.model, self.sim_params, self.terrain
+        )
 
     # ---- hooks ---------------------------------------------------------
     def build_model(self) -> Tuple[Model, SimParams]:
@@ -339,9 +348,25 @@ class VecTask:
         model_b, params_b, model_axes, params_axes = self._physics_vmap_spec(
             state.dr
         )
+        # fused whole-step kernel path: only when the model/params carry no
+        # per-env DR leaves (the kernel specializes on the static Model)
+        unbatched = (
+            not jax.tree.leaves(model_axes) and not jax.tree.leaves(params_axes)
+        )
+        fused_on = self._fused_capable and unbatched and (
+            self.use_fused is True
+            or (self.use_fused == "auto" and jax.default_backend() == "tpu")
+        )
 
         def control_loop(carry, _):
             q, qd = carry
+            if fused_on:
+                out = _fused.physics_step_fused(
+                    self.model, self.sim_params, q, qd, qfrc,
+                    xfrc=xfrc, q_target=q_target,
+                )
+                sensors = Sensors(out.body_force, out.body_torque, out.dof_force)
+                return (out.q, out.qd), sensors
             q, qd, sensors = jax.vmap(
                 self._one_env_physics,
                 in_axes=(model_axes, params_axes, 0, 0, 0, 0, 0 if q_target is not None else None),

@@ -1,0 +1,130 @@
+"""Fused whole-step kernel (engine/fused.py) vs the vmap engine.
+
+The fused path re-expresses physics_step as one Pallas kernel; on CPU the
+same math runs as plain jnp (use_pallas=False), so these tests pin the
+MATH equivalence: the Pallas lowering itself is exercised on TPU by
+bench.py and the env smoke runs there.
+
+Reference mapping: the kernel replaces the PhysX step the reference
+drives via gym.simulate (isaacgymenvs/tasks/base/vec_task.py:382).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isaacgymenvs_tpu.engine import fused
+from isaacgymenvs_tpu.engine import step as estep
+from isaacgymenvs_tpu.engine.dynamics import SimState
+from isaacgymenvs_tpu.tasks import task_map
+
+
+def _env(name, n=4):
+    cfg = {
+        "env": {"numEnvs": n, "clipActions": 1.0},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    return task_map[name](cfg)
+
+
+def _compare(env, steps=3, with_xfrc=False, with_qt=False, tol=2e-4):
+    model, params = env.model, env.sim_params
+    n = env.num_envs
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    q, qd = state.sim.q, state.sim.qd
+    rng = np.random.RandomState(1)
+    qfrc = jnp.asarray(rng.uniform(-1, 1, (n, model.nv)).astype(np.float32)) * 3.0
+    xfrc = (
+        jnp.asarray(rng.uniform(-1, 1, (n, model.nbody, 6)).astype(np.float32))
+        if with_xfrc
+        else None
+    )
+    qt = (
+        jnp.asarray(np.tile(np.asarray(model.qpos0), (n, 1)).astype(np.float32))
+        if with_qt
+        else None
+    )
+
+    def one(q1, qd1, f1):
+        out = estep.physics_step(
+            model, SimState(q=q1, qd=qd1), f1, params,
+            xfrc=None if xfrc is None else xfrc[0] * 0 + xfrc[0],
+            q_target=None if qt is None else qt[0],
+        )
+        return out.state.q, out.state.qd, out.body_force, out.dof_force
+
+    def one_i(q1, qd1, f1, i):
+        out = estep.physics_step(
+            model, SimState(q=q1, qd=qd1), f1, params,
+            xfrc=None if xfrc is None else xfrc[i],
+            q_target=None if qt is None else qt[i],
+        )
+        return out.state.q, out.state.qd, out.body_force, out.dof_force
+
+    vm = jax.jit(
+        jax.vmap(one_i, in_axes=(0, 0, 0, 0))
+    )
+    fu = jax.jit(
+        lambda q, qd, f: fused.physics_step_fused(
+            model, params, q, qd, f, xfrc=xfrc, q_target=qt, use_pallas=False
+        )
+    )
+    idx = jnp.arange(n)
+    for _ in range(steps):
+        q1, qd1, bf1, df1 = vm(q, qd, qfrc, idx)
+        out = fu(q, qd, qfrc)
+        assert float(jnp.max(jnp.abs(q1 - out.q))) < tol
+        assert float(jnp.max(jnp.abs(qd1 - out.qd))) < 10 * tol
+        assert float(jnp.max(jnp.abs(bf1 - out.body_force))) < 100 * tol
+        assert float(jnp.max(jnp.abs(df1 - out.dof_force))) < 100 * tol
+        q, qd = q1, qd1
+
+
+def test_fused_matches_vmap_ant():
+    _compare(_env("Ant"))
+
+
+def test_fused_matches_vmap_ant_xfrc():
+    _compare(_env("Ant"), with_xfrc=True)
+
+
+def test_fused_matches_vmap_cartpole():
+    # fixed-base, no contact points: exercises the nc == 0 branch
+    _compare(_env("Cartpole"))
+
+
+def test_fused_matches_vmap_humanoid():
+    _compare(_env("Humanoid"), steps=2)
+
+
+def test_fused_supported_gating():
+    ant = _env("Ant")
+    assert fused.fused_supported(ant.model, ant.sim_params, None)
+    # BallBalance uses bilateral anchors -> must fall back to the vmap path
+    bb = _env("BallBalance")
+    assert not fused.fused_supported(bb.model, bb.sim_params, None)
+
+
+def test_fused_env_step_equivalence():
+    """Whole env.step with use_fused=True matches the vmap-path env.step."""
+    cfg = {
+        "env": {"numEnvs": 4, "clipActions": 1.0},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    env_v = task_map["Ant"](dict(cfg))
+    cfg_f = {**cfg, "sim": {**cfg["sim"], "use_fused": True}}
+    env_f = task_map["Ant"](cfg_f)
+    s_v, o_v = env_v.reset(jax.random.PRNGKey(0))
+    s_f, o_f = env_f.reset(jax.random.PRNGKey(0))
+    assert jnp.allclose(o_v, o_f)
+    acts = jax.random.uniform(
+        jax.random.PRNGKey(2), (4, env_v.num_acts), minval=-1, maxval=1
+    )
+    step_v = jax.jit(env_v.step)
+    step_f = jax.jit(env_f.step)
+    for _ in range(3):
+        s_v, o_v, r_v, d_v, _ = step_v(s_v, acts)
+        s_f, o_f, r_f, d_f, _ = step_f(s_f, acts)
+        assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-3
+        assert float(jnp.max(jnp.abs(r_v - r_f))) < 1e-3
+        assert bool(jnp.all(d_v == d_f))
