@@ -614,13 +614,28 @@ class PPO:
         name: str = "run",
         save_best_after: int = 100,
         logger=None,
+        mesh=None,
     ) -> Tuple[PPOTrainState, Dict[str, float]]:
-        """Host training loop. Returns final state + last metrics."""
+        """Host training loop. Returns final state + last metrics.
+
+        `mesh`: optional jax.sharding.Mesh -- env-batched leaves shard on
+        its 'env' axis, params replicate, and the jitted epoch compiles
+        the gradient all-reduce in (multi-chip and multi-host both route
+        through here; the reference's torchrun path README.md:165-172).
+        """
         cfg = self.cfg
+        main = jax.process_index() == 0
+        if not main:  # host effects are rank-0-only (ref train.py:178-183)
+            logger = None
+            train_dir = None
         ts = self.init()
         start_epoch = 0
         if checkpoint:
             ts, start_epoch = self.restore(checkpoint, ts)
+        if mesh is not None:
+            from ..parallel import shard_train_state
+
+            ts = shard_train_state(ts, mesh)
         nn_dir = None
         if train_dir:
             nn_dir = os.path.join(train_dir, name, "nn")
@@ -675,7 +690,7 @@ class PPO:
             stop_requested = False
             if on_epoch is not None:
                 stop_requested = bool(on_epoch(ts, last_metrics))
-            if epoch % log_every == 0 or epoch == 1:
+            if main and (epoch % log_every == 0 or epoch == 1):
                 print(
                     f"epoch {epoch:5d} | return {mean_ret:10.2f} | "
                     f"fps {last_metrics['fps']:9.0f} | kl {last_metrics['kl']:.4f} "
@@ -698,7 +713,8 @@ class PPO:
             if stop_requested:
                 break
             if mean_ret == mean_ret and mean_ret >= cfg.score_to_win:
-                print(f"score_to_win {cfg.score_to_win} reached at epoch {epoch}")
+                if main:
+                    print(f"score_to_win {cfg.score_to_win} reached at epoch {epoch}")
                 break
         if nn_dir is not None:
             self.save(

@@ -351,9 +351,12 @@ class SAC:
         logger=None,
         train_dir: str | None = None,
         name: str = "run",
+        checkpoint: str | None = None,
     ):
         cfg = self.cfg
         ts = self.init()
+        if checkpoint:  # resume parity (reference supports checkpoint= for
+            ts = self.restore(checkpoint, ts)  # every algo, train.py:106-108)
         max_epochs = max_epochs or cfg.max_epochs
         n = self.env.num_envs
         steps_per_epoch = cfg.num_steps_per_episode * n

@@ -32,6 +32,12 @@ def main(argv=None):
     if str(cfg.get("pipeline", "gpu")) == "cpu" or str(cfg.get("sim_device", "")).startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host bootstrap (reference: torchrun + multi_gpu=True,
+    # README.md:165-172) -- must run before the first device query
+    from isaacgymenvs_tpu.parallel import distributed as dist
+
+    multi_proc = dist.maybe_initialize(require=bool(cfg.get("multi_gpu")))
+
     seed = int(cfg.get("seed", 42) or 42)
     if seed == -1:  # seed=-1 -> random seed (reference utils/utils.py:87-95)
         seed = random.randint(0, 2**31 - 1)
@@ -46,11 +52,28 @@ def main(argv=None):
             f"unknown task {task_name!r}; available: {sorted(task_map)}"
         )
     env = task_map[task_name](cfg["task"])
-    print(
-        f"task={task_name} num_envs={env.num_envs} num_obs={env.num_obs} "
-        f"num_acts={env.num_acts} backend={jax.default_backend()} "
-        f"devices={len(jax.devices())}"
-    )
+    if dist.is_main_process():
+        print(
+            f"task={task_name} num_envs={env.num_envs} num_obs={env.num_obs} "
+            f"num_acts={env.num_acts} backend={jax.default_backend()} "
+            f"devices={len(jax.devices())} processes={jax.process_count()}"
+        )
+
+    # env-axis sharding over every global device (multi-chip and/or
+    # multi-host); a 1-device mesh adds nothing, skip it
+    mesh = None
+    if (multi_proc or cfg.get("multi_gpu") or len(jax.devices()) > 1) and len(
+        jax.devices()
+    ) > 1:
+        from isaacgymenvs_tpu.parallel import make_mesh
+
+        if env.num_envs % len(jax.devices()) == 0:
+            mesh = make_mesh()
+        elif dist.is_main_process():
+            print(
+                f"num_envs={env.num_envs} not divisible by "
+                f"{len(jax.devices())} devices; running unsharded"
+            )
 
     train_params = cfg.get("train", {}).get("params", {})
     algo = str(train_params.get("algo", {}).get("name", "a2c_continuous"))
@@ -82,13 +105,14 @@ def main(argv=None):
         agent.play(checkpoint=checkpoint)
         return
 
-    # config snapshot (reference train.py:202-208)
-    import yaml
+    # config snapshot (reference train.py:202-208); rank-0 only
+    if dist.is_main_process():
+        import yaml
 
-    run_dir = os.path.join("runs", run_name)
-    os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
-        yaml.safe_dump(cfg, f, default_flow_style=False, sort_keys=False)
+        run_dir = os.path.join("runs", run_name)
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(cfg, f, default_flow_style=False, sort_keys=False)
 
     max_iters = cfg.get("max_iterations")
     save_best_after = int(
@@ -96,7 +120,8 @@ def main(argv=None):
     )
     from isaacgymenvs_tpu.utils.loggers import build_logger
 
-    logger = build_logger(cfg, run_name)
+    # rank-0-only logging (reference train.py:178-183 wandb gating)
+    logger = build_logger(cfg, run_name) if dist.is_main_process() else None
 
     pbt_cfg = cfg.get("pbt") or {}
     if pbt_cfg.get("enabled") and algo not in ("sac",):
@@ -105,12 +130,14 @@ def main(argv=None):
         run_pbt_training(
             cfg, env, train_params, seed, run_name, logger, pbt_cfg
         )
-        logger.close()
+        if logger is not None:
+            logger.close()
         return
     try:
         if algo == "sac":
             agent.train(
                 max_epochs=int(max_iters) if max_iters else None,
+                checkpoint=checkpoint,
                 train_dir="runs",
                 name=run_name,
                 logger=logger,
@@ -123,9 +150,11 @@ def main(argv=None):
                 name=run_name,
                 save_best_after=save_best_after,
                 logger=logger,
+                mesh=mesh,
             )
     finally:
-        logger.close()
+        if logger is not None:
+            logger.close()
 
 
 if __name__ == "__main__":
