@@ -51,6 +51,7 @@ def num_constraints(model: Model) -> int:
         n += model.ncp
     n += len(model.pair_geom_a)
     n += len(model.ppair_point)
+    n += len(model.spair_point)
     n += len(model.att_body)
     return n
 
@@ -264,6 +265,56 @@ def constraint_data(
             bodies_a.append(bodies)
             bodies_b.append(np.full(k, bb))
 
+    # --- 2c. candidate-point-vs-SDF-grid pairs (Factory/IndustReal) ----
+    # Mesh-vertex-vs-SDF narrowphase, the same contact model as PhysX's
+    # SDF collision mode (reference docs/factory.md:101-131): candidate
+    # points sampled on body A's mesh query the voxelized signed-distance
+    # grid rigidly attached to body B -- a trilinear gather, no BVH.
+    if len(model.spair_point):
+        from ..sdf.builder import SdfGrid, sdf_gradient, sdf_query
+
+        pts = np.asarray(model.spair_point)
+        grids = np.asarray(model.spair_sdf)
+        for g in np.unique(grids):
+            sel = pts[grids == g]
+            bodies = np.asarray(model.cpoint_body)[sel]
+            bb = model.sdf_body[int(g)]
+            grid = SdfGrid(
+                values=model.sdf_values[int(g)],
+                origin=model.sdf_origin[int(g)],
+                spacing=model.sdf_spacing[int(g)],
+            )
+            x = kin.x[bodies] + maths.quat_rotate(
+                kin.quat[bodies], model.cpoint_pos[sel]
+            )  # (k, 3) world
+            radii = model.cpoint_radius[sel]
+            # world -> grid-body frame
+            d = maths.quat_rotate_inverse(kin.quat[bb], x - kin.x[bb])
+            dist = sdf_query(grid, d)
+            grad = sdf_gradient(grid, d)
+            n_l = grad / jnp.maximum(
+                jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9
+            )
+            n = maths.quat_rotate(kin.quat[bb], n_l)  # world, out of B
+            phi = radii - dist
+            t1, t2 = _tangent_basis(n)
+            C = jnp.stack([t1, t2, n], axis=1)  # (k, 3, 3)
+            Ja = _point_jacobian(kin, anc, dof_body, bodies, x)
+            Jb = _point_jacobian(
+                kin, anc, dof_body, np.full(len(sel), bb), x
+            )
+            k = len(sel)
+            Js.append(jnp.einsum("kij,kjv->kiv", C, Ja - Jb))
+            phis.append(phi)
+            errs.append(jnp.zeros((k, 3)))
+            mus.append(model.cpoint_friction[sel])
+            bils.append(jnp.zeros(k))
+            acts.append(jnp.ones(k, bool))
+            xs.append(x)
+            frames.append(C)
+            bodies_a.append(bodies)
+            bodies_b.append(np.full(k, bb))
+
     # --- 3. bilateral point anchors (attractors) -----------------------
     if len(model.att_body):
         bodies = np.asarray(model.att_body)
@@ -370,10 +421,16 @@ def solve_contacts(
     A = Jf @ MinvJT + 1e-6 * jnp.eye(nc * 3)
     b = (Jf @ qd_free).reshape(nc, 3)
 
-    # Baumgarte: push out at erp*phi/h, capped (max_depenetration_velocity)
-    vn_target = jnp.minimum(
-        params.baumgarte_erp * jnp.maximum(phi, 0.0) / h,
-        params.max_depenetration_velocity,
+    # Baumgarte: push out at erp*phi/h, capped (max_depenetration_velocity).
+    # Separated-but-in-margin rows must ALLOW approach at up to gap/h --
+    # otherwise the unilateral constraint acts as a wall at the margin-
+    # activation distance and ratchets grasps open (v_n >= phi/h, phi < 0).
+    vn_target = jnp.where(
+        phi > 0,
+        jnp.minimum(
+            params.baumgarte_erp * phi / h, params.max_depenetration_velocity
+        ),
+        phi / h,
     )
     b = b.at[:, 2].add(-vn_target)
     # bilateral anchors: drive the full 3D error to zero
@@ -437,6 +494,19 @@ def _solve_apgd(
     Gn, Gt, tmask, nmask = _group_mats(nc)
     Gc = Gn + Gt  # (nc, n) full per-contact membership
     active_f = Gc.T @ active.astype(jnp.float32)  # (n,)
+    # Per-contact Jacobi preconditioning: under extreme mass ratios (e.g.
+    # a 5e-6 kg m^2 nut against a robot arm) the raw Delassus operator's
+    # Lipschitz constant is set by the lightest body, freezing progress on
+    # contacts with heavy effective mass. Scaling each contact's 3 rows by
+    # 1/sqrt(mean block diagonal) equalizes them, and the friction cone is
+    # invariant under a uniform per-contact scale, so the projection is
+    # unchanged in the scaled variables.
+    diag = jnp.diagonal(A)
+    d_c = (Gc @ diag) / 3.0  # (nc,)
+    s_c = 1.0 / jnp.sqrt(jnp.maximum(d_c, 1e-12))
+    s = Gc.T @ s_c  # (n,) row scales
+    A = A * s[:, None] * s[None, :]
+    bf = bf * s
     # Lipschitz upper bound: inf-norm row sum of A (cheap, safe)
     L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), 1e-8)
     step = 1.0 / L
@@ -463,9 +533,9 @@ def _solve_apgd(
     if warm is None:
         lam0 = jnp.zeros(n)
     else:
-        lam0 = proj(warm.reshape(n))
+        lam0 = proj(warm.reshape(n) / s)  # into scaled variables
     (lam, _), _ = jax.lax.scan(it, (lam0, lam0), betas)
-    return lam.reshape(nc, 3)
+    return (lam * s).reshape(nc, 3)
 
 
 def _solve_pgs(A, b, mu, active, bilateral, params: SimParams) -> jax.Array:

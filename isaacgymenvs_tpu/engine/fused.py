@@ -66,6 +66,7 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         and params.solver == "apgd"
         and not model.pair_geom_a
         and not model.ppair_point
+        and not model.spair_point
         and not model.att_body
         and (model.ncp == 0 or model.plane_contacts)
     )
@@ -580,14 +581,35 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         # matvec below -- materializing eye(3nc) lane-tiled wastes VMEM)
 
         b_vec = jnp.sum(J * qd_free[:, None, :], axis=0)  # (3nc, T)
-        vn_t = jnp.minimum(
-            erp * jnp.maximum(phi, 0.0) / h, p.max_depenetration_velocity
+        # separated rows allow approach at gap/h (see contacts.py note)
+        vn_t = jnp.where(
+            phi > 0,
+            jnp.minimum(erp * phi / h, p.max_depenetration_velocity),
+            phi / h,
         )
         b_vec = jnp.concatenate(
             [b_vec[: 2 * s.nc], b_vec[2 * s.nc:] - vn_t], 0
         )
 
-        Lip = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0, keepdims=True) + 1e-6
+        # Per-contact Jacobi preconditioning, mirroring contacts.py
+        # _solve_apgd exactly (the equivalence tests compare trajectories
+        # at fixed iteration count): scale each contact's 3 rows by
+        # 1/sqrt(mean block diagonal of the regularized Delassus).
+        diagA = jnp.sum(J * W, axis=0)  # (3nc, T) diag of J^T Minv J
+        d_c = (
+            diagA[: s.nc] + diagA[s.nc:2 * s.nc] + diagA[2 * s.nc:]
+        ) / 3.0 + 1e-6
+        s_c = jax.lax.rsqrt(jnp.maximum(d_c, 1e-12))  # (nc, T)
+        s3 = jnp.concatenate([s_c, s_c, s_c], 0)  # (3nc, T)
+        s3sq = s3 * s3
+        A = A * s3[:, None, :] * s3[None, :, :]
+        b_vec = b_vec * s3
+
+        # Lipschitz bound on the scaled system incl. the (scaled) 1e-6
+        # regularization folded into the matvec below.
+        Lip = jnp.max(
+            jnp.sum(jnp.abs(A), axis=1) + 1e-6 * s3sq, axis=0, keepdims=True
+        )
         step = 1.0 / jnp.maximum(Lip, 1e-8)
         mu = jnp.asarray(s.cp_mu[:, None])
 
@@ -598,13 +620,14 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             sc = jnp.minimum(1.0, mu * ln / tn) * active
             return jnp.concatenate([t1 * sc, t2 * sc, ln * active], 0)
 
-        lam = project(warm)
+        lam = project(warm / s3)  # into scaled variables
         y = lam
         for beta in betas:
-            g_vec = jnp.sum(A * y[None, :, :], axis=1) + 1e-6 * y + b_vec
+            g_vec = jnp.sum(A * y[None, :, :], axis=1) + 1e-6 * s3sq * y + b_vec
             lam_new = project(y - step * g_vec)
             y = lam_new + beta * (lam_new - lam)
             lam = lam_new
+        lam = lam * s3  # back to physical impulses
 
         qfrc_con = jnp.sum(J * lam[None, :, :], axis=1)  # (nv, T)
         dqd = jnp.sum(Minv * qfrc_con[None, :, :], axis=1)

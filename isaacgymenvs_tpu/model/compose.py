@@ -51,7 +51,13 @@ def compose(models: List[Model], prefixes: List[str] | None = None) -> Tuple[Mod
         "ppair_geom": [],
         "att_body": [],
         "tendon_names": [],
+        "sdf_body": [],
+        "sdf_spacing": [],
+        "spair_point": [],
+        "spair_sdf": [],
     }
+    sdf_values: list = []
+    sdf_origin: list = []
     leaves = {}
 
     def app_leaf(name, arr):
@@ -84,6 +90,13 @@ def compose(models: List[Model], prefixes: List[str] | None = None) -> Tuple[Mod
         cat_static["ppair_geom"] += [g + g_off for g in m.ppair_geom]
         cat_static["att_body"] += [b + b_off for b in m.att_body]
         cat_static["tendon_names"] += [pre + n for n in m.tendon_names]
+        sdf_off = len(cat_static["sdf_body"])
+        cat_static["sdf_body"] += [b + b_off for b in m.sdf_body]
+        cat_static["sdf_spacing"] += list(m.sdf_spacing)
+        cat_static["spair_point"] += [c + cp_off for c in m.spair_point]
+        cat_static["spair_sdf"] += [s + sdf_off for s in m.spair_sdf]
+        sdf_values += list(m.sdf_values)
+        sdf_origin += list(m.sdf_origin)
 
         for name in (
             "body_pos", "body_quat", "body_ipos", "body_inertia", "body_mass",
@@ -144,6 +157,12 @@ def compose(models: List[Model], prefixes: List[str] | None = None) -> Tuple[Mod
         att_body=tuple(cat_static["att_body"]),
         tendon_names=tuple(cat_static["tendon_names"]),
         tendon_coef=jnp.asarray(tendon_coef),
+        sdf_body=tuple(cat_static["sdf_body"]),
+        sdf_spacing=tuple(cat_static["sdf_spacing"]),
+        sdf_values=tuple(sdf_values),
+        sdf_origin=tuple(sdf_origin),
+        spair_point=tuple(cat_static["spair_point"]),
+        spair_sdf=tuple(cat_static["spair_sdf"]),
         **{
             k: jnp.asarray(np.concatenate(v), f32)
             for k, v in leaves.items()

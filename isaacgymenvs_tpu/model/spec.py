@@ -129,6 +129,18 @@ class Model:
     tendon_range: jax.Array = None  # (nt, 2)
     tendon_stiffness: jax.Array = None  # (nt,) limit_stiffness
     tendon_damping: jax.Array = None  # (nt,)
+    # SDF collision grids (the TPU answer to PhysX's SDF collision mode,
+    # reference docs/factory.md:101-131 and the URDF <sdf resolution/>
+    # element): a voxelized signed-distance grid rigidly attached to a
+    # body, queried by candidate points of OTHER bodies (mesh-vertex-vs-
+    # SDF narrowphase -- the same contact model PhysX SDF mode uses).
+    sdf_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    sdf_spacing: Tuple[float, ...] = struct.field(pytree_node=False, default=())
+    sdf_values: Tuple[jax.Array, ...] = ()  # per grid (nx, ny, nz), body frame
+    sdf_origin: Tuple[jax.Array, ...] = ()  # per grid (3,) voxel-0 corner
+    # candidate-point-vs-SDF pairs: cpoint index vs sdf grid index
+    spair_point: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    spair_sdf: Tuple[int, ...] = struct.field(pytree_node=False, default=())
 
     @property
     def ngeom(self) -> int:

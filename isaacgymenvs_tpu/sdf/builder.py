@@ -142,3 +142,79 @@ def sdf_gradient(grid: SdfGrid, points: jax.Array) -> jax.Array:
 
     g = jnp.stack([d(0), d(1), d(2)], axis=-1)
     return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# model integration: attach SDF grids + contact points to a finalized Model
+# ---------------------------------------------------------------------------
+
+
+def load_obj(path: str, scale: float = 1.0):
+    """Wavefront OBJ -> (verts (V,3) float64, tris (T,3) int32), fan-
+    triangulating polygons. Only geometry is read (the reference's
+    factory/industreal meshes ship as OBJ, e.g.
+    assets/factory/urdf/factory_nut_m16_tight.urdf <mesh filename=...>)."""
+    vs, fs = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                vs.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    fs.append([idx[0], idx[k], idx[k + 1]])
+    return (
+        np.asarray(vs, np.float64) * scale,
+        np.asarray(fs, np.int32),
+    )
+
+
+def attach_sdf(model, body: int, grid: SdfGrid):
+    """Attach an SDF grid rigidly to `body` (grid coords = body frame).
+    Returns (model, sdf_index). The TPU equivalent of the reference URDF
+    `<sdf resolution="256"/>` collision element (docs/factory.md:101-131)."""
+    idx = len(model.sdf_body)
+    return (
+        model.replace(
+            sdf_body=model.sdf_body + (int(body),),
+            sdf_spacing=model.sdf_spacing + (float(grid.spacing),),
+            sdf_values=model.sdf_values + (grid.values,),
+            sdf_origin=model.sdf_origin + (grid.origin,),
+        ),
+        idx,
+    )
+
+
+def add_contact_points(model, body: int, pts: np.ndarray,
+                       radius: float = 0.0, friction: float = 1.0):
+    """Append candidate contact points (body frame) to a finalized Model.
+    Returns (model, point_indices). Used to sample mesh vertices as the
+    vertex set for vertex-vs-SDF narrowphase (how PhysX SDF collision
+    generates contacts between two meshes)."""
+    import jax.numpy as jnp
+
+    k = len(pts)
+    idx = tuple(range(model.ncp, model.ncp + k))
+    return (
+        model.replace(
+            cpoint_body=model.cpoint_body + (int(body),) * k,
+            cpoint_pos=jnp.concatenate(
+                [model.cpoint_pos, jnp.asarray(pts, jnp.float32)]
+            ),
+            cpoint_radius=jnp.concatenate(
+                [model.cpoint_radius, jnp.full(k, float(radius))]
+            ),
+            cpoint_friction=jnp.concatenate(
+                [model.cpoint_friction, jnp.full(k, float(friction))]
+            ),
+        ),
+        idx,
+    )
+
+
+def pair_points_with_sdf(model, point_indices, sdf_index: int):
+    """Declare candidate points as queries against an SDF grid."""
+    return model.replace(
+        spair_point=model.spair_point + tuple(int(p) for p in point_indices),
+        spair_sdf=model.spair_sdf + (int(sdf_index),) * len(point_indices),
+    )

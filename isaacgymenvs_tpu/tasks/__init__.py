@@ -23,6 +23,7 @@ from .anymal import Anymal
 from .anymal_terrain import AnymalTerrain
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
+from .factory_nut_bolt import FactoryTaskNutBoltPlace, FactoryTaskNutBoltScrew
 from .factory_nut_bolt_pick import FactoryTaskNutBoltPick
 from .franka_cabinet import FrankaCabinet
 from .franka_cube_stack import FrankaCubeStack
@@ -42,6 +43,8 @@ task_map: Dict[str, Type[VecTask]] = {
     "AllegroHandDextremeManualDR": AllegroHandDextremeManualDR,
     "Cartpole": Cartpole,
     "FactoryTaskNutBoltPick": FactoryTaskNutBoltPick,
+    "FactoryTaskNutBoltPlace": FactoryTaskNutBoltPlace,
+    "FactoryTaskNutBoltScrew": FactoryTaskNutBoltScrew,
     "FrankaCabinet": FrankaCabinet,
     "FrankaCubeStack": FrankaCubeStack,
     "Ant": Ant,

@@ -90,3 +90,79 @@ def test_box_sdf_inside_depth():
     assert float(sdf_query(grid, center)[0]) < -0.4  # deep inside
     outside = np.array([[0.65, 0, 0]], np.float32)
     assert abs(float(sdf_query(grid, outside)[0]) - 0.15) < 0.04
+
+
+def _cube_mesh(half=0.2):
+    verts = np.array(
+        [
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+        ],
+        np.float64,
+    ) * half
+    faces = np.array(
+        [
+            [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+            [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+            [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+        ],
+        np.int32,
+    )
+    return verts, faces
+
+
+def test_ball_rests_on_sdf_box():
+    """SDF-geom narrowphase wired into the contact solver: a ball dropped
+    onto a voxelized box settles on its top face (engine/contacts.py
+    source 2c -- the TPU equivalent of PhysX SDF collision,
+    reference docs/factory.md:101-131)."""
+    import jax
+    import jax.numpy as jnp
+
+    from isaacgymenvs_tpu.engine import SimParams, SimState, physics_step
+    from isaacgymenvs_tpu.model.spec import (
+        FIXED, FREE, GEOM_SPHERE, ModelBuilder, sphere_inertia,
+    )
+    from isaacgymenvs_tpu.sdf.builder import (
+        attach_sdf, pair_points_with_sdf,
+    )
+
+    b = ModelBuilder()
+    mass, inertia = sphere_inertia(1000.0, 0.05)
+    ball = b.add_body(
+        parent=-1, name="ball", pos=(0, 0, 0), quat=(0, 0, 0, 1),
+        jnt_type=FREE, mass=mass, inertia=inertia,
+    )
+    b.qpos0_free[ball] = (
+        np.array([0.03, 0.0, 0.5], np.float32),
+        np.array([0, 0, 0, 1], np.float32),
+    )
+    b.add_geom(ball, GEOM_SPHERE, (0, 0, 0), (0, 0, 0, 1), (0.05, 0, 0), 0.8)
+    box_body = b.add_body(
+        parent=-1, name="box", pos=(0, 0, 0.2), quat=(0, 0, 0, 1),
+        jnt_type=FIXED,
+    )
+    model = b.finalize()
+
+    verts, faces = _cube_mesh(0.2)
+    grid = mesh_to_sdf(verts, faces, resolution=48)
+    model, g = attach_sdf(model, box_body, grid)
+    model = pair_points_with_sdf(model, [0], g)  # ball's center point
+
+    params = SimParams(
+        dt=1 / 60, substeps=2, gravity=jnp.array([0.0, 0.0, -9.81])
+    )
+    state = SimState(q=model.qpos0, qd=jnp.zeros(model.nv))
+
+    @jax.jit
+    def rollout(state):
+        def body(s, _):
+            out = physics_step(model, s, jnp.zeros(model.nv), params)
+            return out.state, out.state.q[2]
+        return jax.lax.scan(body, state, None, length=150)
+
+    final, zs = rollout(state)
+    assert np.all(np.isfinite(np.asarray(final.q)))
+    # rests on box top: z = box_top (0.4) + radius (0.05)
+    assert abs(float(final.q[2]) - 0.45) < 0.015
+    assert abs(float(final.qd[2])) < 0.05
