@@ -116,11 +116,17 @@ class VecTask:
         # ranges at every partial reset and pushes boundary-worker episode
         # objectives back into the range-update queues.
         self.adr = None
+        self.adr_load_from_checkpoint = False
         adr_cfg = env_cfg.get("adr") or cfg.get("adr")
         if adr_cfg and adr_cfg.get("use_adr"):
             from ..dr.adr import ADR
 
             self.adr = ADR(adr_cfg, self.num_envs)
+            # gate for restoring evolved ADR ranges from a checkpoint
+            # (reference adr_vec_task.py:516 adr_load_from_checkpoint)
+            self.adr_load_from_checkpoint = bool(
+                adr_cfg.get("adr_load_from_checkpoint", False)
+            )
         # env-step dt as seen by the task (vec_task control_freq_inv semantics)
         self.dt = self.sim_params.dt * self.control_freq_inv
         # fused whole-step Pallas kernel (engine/fused.py): "auto" uses it

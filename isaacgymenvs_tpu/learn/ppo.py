@@ -549,10 +549,17 @@ class PPO:
                 # env-side curriculum / task state round-trips with the
                 # checkpoint (get_env_state contract, SURVEY.md 5.4)
                 "env_task_state": ts.env_state.task,
+                # ADR population state (ranges/queues/worker assignment)
+                # mirrors adr_vec_task.get_env_state (ref :368-399)
+                "env_adr_state": ts.env_state.adr,
             },
         )
 
     def restore(self, path: str, ts: PPOTrainState) -> Tuple[PPOTrainState, int]:
+        """Re-hydrate params AND env-side state (reference set_env_state
+        vec_task.py:196-204 + adr_load_from_checkpoint adr_vec_task.py:516).
+        Task curriculum state always restores when present; ADR ranges
+        restore only when the task cfg sets `adr_load_from_checkpoint`."""
         from ..utils.checkpoint import load_checkpoint
 
         ck = load_checkpoint(path)
@@ -565,6 +572,16 @@ class PPO:
         )
         if ck.get("state_rms") is not None:
             ts = ts.replace(state_rms=jax.device_put(ck["state_rms"]))
+        env_state = ts.env_state
+        task = ck.get("env_task_state")
+        if task is not None and env_state.task is not None:
+            env_state = env_state.replace(task=jax.device_put(task))
+        adr = ck.get("env_adr_state")
+        if adr is not None and env_state.adr is not None and getattr(
+            self.env, "adr_load_from_checkpoint", False
+        ):
+            env_state = env_state.replace(adr=jax.device_put(adr))
+        ts = ts.replace(env_state=env_state)
         return ts, int(ck.get("epoch", 0))
 
     def act(self, ts: PPOTrainState, obs, deterministic: bool = True, key=None):
@@ -575,6 +592,11 @@ class PPO:
             return mu
         return mu + jnp.exp(log_sigma) * jax.random.normal(key, mu.shape)
 
+    def _play_step(self, ts, obs, prev_done):
+        """One eval policy step; stateful players (LSTM) override this to
+        thread their carry through `ts` and reset it for done envs."""
+        return self.act(ts, obs), ts
+
     def play(
         self, checkpoint: str | None = None, num_episodes: int = 32
     ) -> float:
@@ -583,14 +605,15 @@ class PPO:
         ts = self.init()
         if checkpoint:
             ts, _ = self.restore(checkpoint, ts)
-        act = jax.jit(lambda ts, obs: self.act(ts, obs))
+        policy = jax.jit(self._play_step)
         step = jax.jit(self.env.step)
         env_state, obs = self.env.reset(jax.random.PRNGKey(self.seed + 1))
         n = self.env.num_envs
         ep_ret = jnp.zeros(n)
+        done = jnp.zeros(n, bool)
         finished, total = 0, 0.0
         while finished < num_episodes:
-            a = act(ts, obs)
+            a, ts = policy(ts, obs, done)
             env_state, obs, rew, done, _ = step(env_state, a)
             ep_ret = ep_ret + rew
             d = np.asarray(done)

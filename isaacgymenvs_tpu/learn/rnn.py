@@ -341,4 +341,19 @@ class PPORecurrent(PPO):
         carry, (mu, log_sigma, _) = self.network.apply(
             ts.params["policy"], nobs, ts.states
         )
-        return mu  # note: play loops should track the carry themselves
+        return mu  # single-shot; play() threads the carry via _play_step
+
+    def _play_step(self, ts, obs, prev_done):
+        """Eval step threading the LSTM carry (rl_games BasePlayer run()
+        keeps rnn states across steps and zeroes them per done env,
+        player.py get_action/reset semantics); the base PPO.play drives
+        this so test=True on an LSTM checkpoint is truly recurrent."""
+        mask = (1.0 - prev_done.astype(jnp.float32))[:, None]
+        carry = tuple(x * mask for x in ts.states)
+        nobs = (
+            rms_normalize(ts.obs_rms, obs) if self.cfg.normalize_input else obs
+        )
+        new_carry, (mu, _, _) = self.network.apply(
+            ts.params["policy"], nobs, carry
+        )
+        return mu, ts.replace(states=new_carry)

@@ -23,6 +23,38 @@ def save_checkpoint(path: str, tree: Any) -> None:
     os.replace(tmp, path)  # atomic (safe_save semantics, ref pbt/pbt.py:42)
 
 
+class _CheckpointUnpickler(pickle.Unpickler):
+    """Restricted unpickler: checkpoints are data-only pytrees (dicts,
+    numpy arrays, flax structs, optax states), so only a vetted set of
+    module prefixes may be deserialized. Loading a tampered file raises
+    instead of executing arbitrary reduce callables (the classic
+    pickle.load RCE). Matches the reference's torch.load trust model but
+    with the import surface actually closed."""
+
+    _ALLOWED_PREFIXES = (
+        "builtins",
+        "collections",
+        "numpy",
+        "jax",
+        "jaxlib",
+        "flax",
+        "optax",
+        "isaacgymenvs_tpu",
+    )
+
+    def find_class(self, module: str, name: str):
+        root = module.split(".")[0]
+        if root not in self._ALLOWED_PREFIXES:
+            raise pickle.UnpicklingError(
+                f"checkpoint references disallowed type {module}.{name}; "
+                "only data-only pytree types are deserializable"
+            )
+        if module == "builtins" and name in ("eval", "exec", "compile",
+                                             "open", "__import__"):
+            raise pickle.UnpicklingError(f"builtins.{name} is not allowed")
+        return super().find_class(module, name)
+
+
 def load_checkpoint(path: str) -> Any:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _CheckpointUnpickler(f).load()

@@ -43,3 +43,52 @@ def test_cartpole_learns():
     # untrained return is ~1-3; a learning policy passes 10 within 35 epochs
     assert metrics["mean_episode_return"] > 10.0
     assert np.isfinite(metrics["kl"]) and np.isfinite(metrics["a_loss"])
+
+
+def test_checkpoint_roundtrips_env_task_and_adr_state(tmp_path):
+    """Resume must not reset curricula: save() writes env task state +
+    ADR population state and restore() re-hydrates both into EnvState
+    (reference vec_task.py:196-204 set_env_state +
+    adr_vec_task.py:368-399,516 adr_load_from_checkpoint; round-1
+    VERDICT item 5)."""
+    cfg = {
+        "env": {"numEnvs": 8, "clipActions": 1.0},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    env = task_map["Ant"](cfg)
+    tp = {
+        "network": {"mlp": {"units": [16]}},
+        "config": {"horizon_length": 4, "minibatch_size": 16,
+                   "mini_epochs": 1},
+    }
+    ppo = PPO(env, tp, seed=0)
+    ts = ppo.init()
+    # perturb curriculum-like task state + attach a fake ADR pytree
+    mutated_task = jax.tree.map(lambda x: x + 1.0, ts.env_state.task)
+    fake_adr = {"ranges": jnp.arange(4.0), "queue": jnp.ones((2, 3))}
+    ts = ts.replace(
+        env_state=ts.env_state.replace(task=mutated_task, adr=fake_adr)
+    )
+    path = str(tmp_path / "ck.ckpt")
+    ppo.save(path, ts, epoch=7, frames=123)
+
+    # fresh state: ADR-gated restore OFF -> task restores, adr does not
+    ts2 = ppo.init().replace(
+        env_state=ppo.init().env_state.replace(
+            adr={"ranges": jnp.zeros(4), "queue": jnp.zeros((2, 3))}
+        )
+    )
+    env.adr_load_from_checkpoint = False
+    ts2r, epoch = ppo.restore(path, ts2)
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(ts2r.env_state.task),
+                    jax.tree.leaves(mutated_task)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert float(np.asarray(ts2r.env_state.adr["ranges"]).max()) == 0.0
+
+    # gate ON -> evolved ADR ranges restore too
+    env.adr_load_from_checkpoint = True
+    ts3r, _ = ppo.restore(path, ts2)
+    np.testing.assert_allclose(
+        np.asarray(ts3r.env_state.adr["ranges"]), np.arange(4.0)
+    )
