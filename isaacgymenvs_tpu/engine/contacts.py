@@ -397,8 +397,14 @@ def solve_contacts(
     )
 
     if cap and cap < nc_full:
-        # selection key: bilateral rows always win, then deepest contacts
-        key = jnp.where(con.bilateral > 0, jnp.inf, con.phi)
+        # selection key: bilateral rows always win, then PREDICTED depth at
+        # the end of the slice (phi - min(v_n,0)*h). Depth-only selection
+        # starves fast-approaching speculative rows of slots (steady
+        # grasp-squeeze rows crowd them out) and lets thin features tunnel;
+        # prediction is PhysX's speculative-contact selection rule.
+        vn = jnp.einsum("cv,v->c", con.J[:, 2, :], qd_free)
+        key = con.phi - jnp.minimum(vn, 0.0) * h
+        key = jnp.where(con.bilateral > 0, jnp.inf, key)
         key = jnp.where(active_full, key, -jnp.inf)
         _, sel = jax.lax.top_k(key, cap)
         J = con.J[sel]

@@ -169,6 +169,15 @@ class VecTask:
         ADR-enabled tasks; receives a SINGLE env's task pytree."""
         return jnp.zeros(())
 
+    def population_update(self, task, done, progress):
+        """Full-batch (NOT vmapped) task update after reward_done: for
+        population-level curricula that need cross-env statistics, e.g.
+        IndustReal's Sampling-Based Curriculum stepping a shared
+        max-displacement from the mean success rate
+        (industreal_task_pegs_insert.py:454-459). Receives the batched
+        task pytree; must return it with the same structure/shapes."""
+        return task
+
     def resample_init(self, rng, old_task):
         """Partial-reset sampler that can read the env's pre-reset task
         state -- override to persist curriculum across resets (terrain
@@ -461,6 +470,10 @@ class VecTask:
         reward, done, task = jax.vmap(self.reward_done)(
             obs, q, qd, kin, sensors, task, actions, progress
         )
+
+        # 5b. population-level curricula on the full batch (SBC etc.)
+        if type(self).population_update is not VecTask.population_update:
+            task = self.population_update(task, done, progress)
 
         # 6. timeout flag (vec_task.py:393-394)
         timeout = (progress >= self.max_episode_length - 1) & done

@@ -71,20 +71,27 @@ def mesh_to_sdf(
     tris: np.ndarray,
     resolution: int = 64,
     padding: float = 0.1,
+    bounds=None,
 ) -> SdfGrid:
     """Voxelize a triangle mesh into a signed distance grid.
 
     resolution = voxels along the longest AABB axis (the reference URDF
     `<sdf resolution="256"/>` knob); padding = extra border as a fraction
-    of the AABB diagonal.
-    """
+    of the AABB diagonal. bounds=(lo, hi) overrides the AABB+padding box:
+    distances/signs are still computed against the FULL mesh, only the
+    sampled region shrinks -- the way to afford sub-clearance voxels
+    around a tight-fit feature (e.g. a gear shaft) on a large part."""
     verts = np.ascontiguousarray(verts, np.float64)
     tris = np.ascontiguousarray(tris, np.int32)
-    lo = verts.min(0)
-    hi = verts.max(0)
-    pad = padding * np.linalg.norm(hi - lo)
-    lo = lo - pad
-    hi = hi + pad
+    if bounds is not None:
+        lo = np.asarray(bounds[0], np.float64)
+        hi = np.asarray(bounds[1], np.float64)
+    else:
+        lo = verts.min(0)
+        hi = verts.max(0)
+        pad = padding * np.linalg.norm(hi - lo)
+        lo = lo - pad
+        hi = hi + pad
     h = float((hi - lo).max() / (resolution - 1))
     dims = np.maximum((np.ceil((hi - lo) / h)).astype(np.int64) + 1, 4)
     out = np.empty(int(dims[0] * dims[1] * dims[2]), np.float32)
@@ -109,12 +116,20 @@ def mesh_to_sdf(
 
 def sdf_query(grid: SdfGrid, points: jax.Array) -> jax.Array:
     """Trilinear signed distance at mesh-frame points (..., 3). Pure jnp;
-    batch/vmap freely (the per-step hot query, SURVEY.md 2.9)."""
+    batch/vmap freely (the per-step hot query, SURVEY.md 2.9).
+
+    Points outside the voxel grid get the boundary trilinear value plus
+    the Euclidean distance to the grid (so far-away queries keep growing
+    instead of saturating at the border value)."""
     g = (points - grid.origin) / grid.spacing
     dims = grid.values.shape
     gx = jnp.clip(g[..., 0], 0.0, dims[0] - 1.001)
     gy = jnp.clip(g[..., 1], 0.0, dims[1] - 1.001)
     gz = jnp.clip(g[..., 2], 0.0, dims[2] - 1.001)
+    # distance from the query point to its in-grid clamp (0 when inside)
+    dout = jnp.sqrt(
+        (g[..., 0] - gx) ** 2 + (g[..., 1] - gy) ** 2 + (g[..., 2] - gz) ** 2
+    ) * grid.spacing
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
     z0 = jnp.floor(gz).astype(jnp.int32)
@@ -130,7 +145,7 @@ def sdf_query(grid: SdfGrid, points: jax.Array) -> jax.Array:
     c11 = at(0, 1, 1) * (1 - fx) + at(1, 1, 1) * fx
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
-    return c0 * (1 - fz) + c1 * fz
+    return c0 * (1 - fz) + c1 * fz + dout
 
 
 def sdf_gradient(grid: SdfGrid, points: jax.Array) -> jax.Array:

@@ -29,6 +29,13 @@ from .franka_cabinet import FrankaCabinet
 from .franka_cube_stack import FrankaCubeStack
 from .humanoid import Humanoid
 from .humanoid_amp import HumanoidAMP
+from .allegro_kuka_two_arms import (
+    AllegroKukaTwoArmsRegrasping,
+    AllegroKukaTwoArmsReorientation,
+)
+from .factory_templates import FactoryTaskGears, FactoryTaskInsertion
+from .industreal_gears_insert import IndustRealTaskGearsInsert
+from .industreal_pegs_insert import IndustRealTaskPegsInsert
 from .ingenuity import Ingenuity
 from .quadcopter import Quadcopter
 from .trifinger import Trifinger
@@ -47,6 +54,12 @@ task_map: Dict[str, Type[VecTask]] = {
     "FactoryTaskNutBoltScrew": FactoryTaskNutBoltScrew,
     "FrankaCabinet": FrankaCabinet,
     "FrankaCubeStack": FrankaCubeStack,
+    "AllegroKukaTwoArmsReorientation": AllegroKukaTwoArmsReorientation,
+    "AllegroKukaTwoArmsRegrasping": AllegroKukaTwoArmsRegrasping,
+    "FactoryTaskGears": FactoryTaskGears,
+    "FactoryTaskInsertion": FactoryTaskInsertion,
+    "IndustRealTaskGearsInsert": IndustRealTaskGearsInsert,
+    "IndustRealTaskPegsInsert": IndustRealTaskPegsInsert,
     "Ant": Ant,
     "BallBalance": BallBalance,
     "Anymal": Anymal,
