@@ -70,10 +70,14 @@ class AllegroKukaReorientation(VecTask):
         )
         self.num_keypoints = len(self.KP_OFFSETS)
         # full_state composition (:185-232): 93 fixed dims + 6 per keypoint
-        self.num_obs = 93 + 6 * self.num_keypoints
-        self.num_acts = 23
+        self.num_obs = self._full_state_size()
+        self.num_acts = 23 * getattr(self, "NUM_ARMS", 1)
         super().__init__(cfg)
         self._setup()
+
+    def _full_state_size(self):
+        """Overridden by the two-arms family (per-arm obs blocks)."""
+        return 93 + 6 * self.num_keypoints
 
     # ------------------------------------------------------------------
     def build_model(self):
