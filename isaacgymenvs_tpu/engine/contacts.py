@@ -65,6 +65,7 @@ class ConstraintData(NamedTuple):
     active: jax.Array  # (nc,) bool
     x: jax.Array  # (nc, 3) world application points
     frame: jax.Array  # (nc, 3, 3) rows t1, t2, n (world)
+    rest: jax.Array  # (nc,) restitution coefficient (0 = inelastic)
     body_a: np.ndarray  # (nc,) static: body receiving +impulse
     body_b: np.ndarray  # (nc,) static: body receiving -impulse (-1 = world)
 
@@ -156,6 +157,14 @@ def _sphere_vs_geom(center, radius, gtype: int, gpos, gquat, gsize):
     return phi, n_w, x_w
 
 
+
+def _cp_rest(model, sel):
+    """Per-candidate-point restitution (None leaf = all zeros)."""
+    if model.cpoint_restitution is None:
+        return jnp.zeros(len(sel))
+    return model.cpoint_restitution[np.asarray(sel)]
+
+
 def constraint_data(
     model: Model,
     kin: Kin,
@@ -169,6 +178,7 @@ def constraint_data(
     nv = model.nv
 
     Js, phis, errs, mus, bils, acts, xs, frames = [], [], [], [], [], [], [], []
+    rsts = []
     bodies_a, bodies_b = [], []
 
     # --- 1. candidate points vs ground (plane or heightfield) ----------
@@ -195,6 +205,7 @@ def constraint_data(
         phis.append(phi)
         errs.append(jnp.zeros((k, 3)))
         mus.append(model.cpoint_friction * plane_friction)
+        rsts.append(_cp_rest(model, np.arange(model.ncp)))
         bils.append(jnp.zeros(k))
         acts.append(jnp.ones(k, bool))
         xs.append(x)
@@ -221,6 +232,7 @@ def constraint_data(
         errs.append(jnp.zeros((1, 3)))
         mu = 0.5 * (model.geom_friction[ga] + model.geom_friction[gb])
         mus.append(mu[None])
+        rsts.append(jnp.zeros(1))
         bils.append(jnp.zeros(1))
         acts.append(jnp.ones(1, bool))
         xs.append(x[None])
@@ -258,6 +270,7 @@ def constraint_data(
             mus.append(
                 0.5 * (model.cpoint_friction[sel] + model.geom_friction[gb])
             )
+            rsts.append(_cp_rest(model, sel))
             bils.append(jnp.zeros(k))
             acts.append(jnp.ones(k, bool))
             xs.append(x)
@@ -308,6 +321,7 @@ def constraint_data(
             phis.append(phi)
             errs.append(jnp.zeros((k, 3)))
             mus.append(model.cpoint_friction[sel])
+            rsts.append(_cp_rest(model, sel))
             bils.append(jnp.zeros(k))
             acts.append(jnp.ones(k, bool))
             xs.append(x)
@@ -326,6 +340,7 @@ def constraint_data(
         phis.append(jnp.zeros(k))
         errs.append(err_w)  # frame = world
         mus.append(jnp.zeros(k))
+        rsts.append(jnp.zeros(k))
         bils.append(jnp.ones(k))
         acts.append(jnp.ones(k, bool))
         xs.append(x)
@@ -333,6 +348,20 @@ def constraint_data(
         bodies_a.append(bodies)
         bodies_b.append(np.full(k, -1))
 
+    if not Js:  # constraint-free model (e.g. a free body in vacuum)
+        return ConstraintData(
+            J=jnp.zeros((0, 3, nv)),
+            phi=jnp.zeros(0),
+            err=jnp.zeros((0, 3)),
+            mu=jnp.zeros(0),
+            bilateral=jnp.zeros(0),
+            active=jnp.zeros(0, bool),
+            x=jnp.zeros((0, 3)),
+            frame=jnp.zeros((0, 3, 3)),
+            rest=jnp.zeros(0),
+            body_a=np.zeros(0, np.int64),
+            body_b=np.zeros(0, np.int64),
+        )
     return ConstraintData(
         J=jnp.concatenate(Js),
         phi=jnp.concatenate(phis),
@@ -342,6 +371,7 @@ def constraint_data(
         active=jnp.concatenate(acts),
         x=jnp.concatenate(xs),
         frame=jnp.concatenate(frames),
+        rest=jnp.concatenate(rsts),
         body_a=np.concatenate(bodies_a),
         body_b=np.concatenate(bodies_b),
     )
@@ -391,6 +421,13 @@ def solve_contacts(
     """
     nc_full = con.J.shape[0]
     nv = con.J.shape[2]
+    if nc_full == 0:  # constraint-free model
+        return SolveOut(
+            qd=qd_free,
+            impulse=jnp.zeros((0, 3)),
+            x=con.x,
+            qfrc=jnp.zeros(nv),
+        )
     cap = params.max_active_contacts
     active_full = con.active & (
         (con.phi > -params.contact_margin) | (con.bilateral > 0)
@@ -414,11 +451,13 @@ def solve_contacts(
         bilateral = con.bilateral[sel]
         active = active_full[sel]
         frame = con.frame[sel]
+        rest = con.rest[sel]
         warm_sel = warm[sel] if warm is not None else None
     else:
         sel = None
         J, phi, err, mu = con.J, con.phi, con.err, con.mu
         bilateral, active, frame = con.bilateral, active_full, con.frame
+        rest = con.rest
         warm_sel = warm
 
     nc = J.shape[0]
@@ -437,6 +476,19 @@ def solve_contacts(
             params.baumgarte_erp * phi / h, params.max_depenetration_velocity
         ),
         phi / h,
+    )
+    # Newton restitution: when a touching row impacts faster than the
+    # bounce threshold, the post-solve normal velocity targets -e*v_n^-
+    # (PhysX restitution + bounce_threshold_velocity semantics); combined
+    # with Baumgarte by taking the larger outward target
+    vn_pre = b[:, 2]
+    bounce = (
+        (rest > 0.0)
+        & (phi > -params.contact_margin)
+        & (vn_pre < -params.bounce_threshold_velocity)
+    )
+    vn_target = jnp.where(
+        bounce, jnp.maximum(vn_target, -rest * vn_pre), vn_target
     )
     b = b.at[:, 2].add(-vn_target)
     # bilateral anchors: drive the full 3D error to zero

@@ -57,6 +57,9 @@ class SimParams:
     baumgarte_erp: float = 0.2  # penetration push-out rate (fraction per step)
     baumgarte_erp_attractor: float = 0.7  # bilateral anchor error correction
     max_depenetration_velocity: float = 10.0  # cfg physx knob (Ant.yaml:55)
+    # impacts slower than this don't bounce (cfg physx
+    # bounce_threshold_velocity; restitution is per contact point)
+    bounce_threshold_velocity: float = 0.2
     contact_margin: float = 0.0
     limit_stiffness: float = 400.0
     limit_damping: float = 20.0  # made implicit (added to the M diagonal)
@@ -491,6 +494,13 @@ def passive_force(
     D = model.dof_damping + model.dof_limited * jnp.where(
         violating, params.limit_damping, 0.0
     )
+    if model.dof_friction is not None:
+        # Coulomb joint friction (PhysX DOF friction / MJCF frictionloss)
+        # as regularized viscous damping D_f = mu/(|qd|+eps), so the
+        # torque saturates at -mu*sign(qd); folding it into the IMPLICIT
+        # damping diagonal keeps the stiff near-zero-velocity slope
+        # unconditionally stable (an explicit tanh term oscillates)
+        D = D + model.dof_friction / (jnp.abs(qd) + 2e-3)
     # stiffness coefficient returned for IMPLICIT spring integration
     # (h^2 K added to the system matrix): arbitrarily stiff drives stay
     # stable regardless of the driven inertia

@@ -69,6 +69,15 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         and not model.spair_point
         and not model.att_body
         and (model.ncp == 0 or model.plane_contacts)
+        # Coulomb joint friction / restitution not yet in the fused math
+        and (
+            model.dof_friction is None
+            or not np.any(np.asarray(model.dof_friction))
+        )
+        and (
+            model.cpoint_restitution is None
+            or not np.any(np.asarray(model.cpoint_restitution))
+        )
     )
 
 

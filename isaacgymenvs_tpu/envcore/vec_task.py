@@ -108,7 +108,9 @@ class VecTask:
             from ..dr.randomize import DomainRandomizer
 
             self.randomizer = DomainRandomizer(
-                self.model, task_cfg.get("randomization_params", {})
+                self.model,
+                task_cfg.get("randomization_params", {}),
+                actor_ranges=self.dr_actor_ranges(),
             )
         # ADR (reference adr_vec_task.py:489-1250): tasks that want it set
         # an `adr:` block in the task cfg AND keep an "adr" (P,)-leaf in
@@ -169,6 +171,26 @@ class VecTask:
         ADR-enabled tasks; receives a SINGLE env's task pytree."""
         return jnp.zeros(())
 
+    def render(self, state, env_idx: int = 0):
+        """Headless render stub (reference vec_task.py:457-512 drives a
+        viewer + frame capture; a TPU pod has none): returns one env's
+        body poses {"x": (nbody, 3), "quat": (nbody, 4)}. For image
+        output, record frames with utils.replay.FrameRecorder and render
+        offline with utils.replay.render_replay."""
+        import numpy as _np
+
+        q = state.sim.q[env_idx]
+        qd = state.sim.qd[env_idx]
+        kin = _dyn.forward_kinematics(self.model, q, qd)
+        return {"x": _np.asarray(kin.x), "quat": _np.asarray(kin.quat)}
+
+    def dr_actor_ranges(self):
+        """Optional {actor_name: (body_lo, body_hi)} scoping DR
+        actor_params specs to each actor's bodies/dofs/contact points
+        (the reference randomizes per actor handle, vec_task.py:619-680).
+        None = every spec touches the whole model leaf."""
+        return None
+
     def population_update(self, task, done, progress):
         """Full-batch (NOT vmapped) task update after reward_done: for
         population-level curricula that need cross-env statistics, e.g.
@@ -199,6 +221,9 @@ class VecTask:
             gravity=jnp.asarray(sim.get("gravity", [0.0, 0.0, -9.81]), jnp.float32),
             max_depenetration_velocity=float(
                 physx.get("max_depenetration_velocity", 10.0)
+            ),
+            bounce_threshold_velocity=float(
+                physx.get("bounce_threshold_velocity", 0.2)
             ),
             contact_margin=float(physx.get("contact_offset", 0.02)),
             max_active_contacts=int(physx.get("max_active_contacts", 0)),
@@ -294,10 +319,6 @@ class VecTask:
         obs = jax.vmap(self.observe)(
             q, qd, kin, sensors, task, actions, progress
         )
-        dr = None
-        if self.randomizer is not None:
-            key, kdr = jax.random.split(key)
-            dr = self.randomizer.sample(kdr, n, jnp.zeros((), jnp.int32))
         adr_state = None
         if self.adr is not None:
             key, ka, kp = jax.random.split(key, 3)
@@ -306,6 +327,16 @@ class VecTask:
             task["adr"] = self.adr.sample(adr_state, kp, n)
             obs = jax.vmap(self.observe)(
                 q, qd, kin, sensors, task, actions, progress
+            )
+        dr = None
+        if self.randomizer is not None:
+            key, kdr = jax.random.split(key)
+            dr = self.randomizer.sample(
+                kdr, n, jnp.zeros((), jnp.int32),
+                adr=(
+                    self.adr.dr_overrides(adr_state)
+                    if self.adr is not None else None
+                ),
             )
         state = EnvState(
             sim=SimState(q=q, qd=qd),
@@ -432,7 +463,13 @@ class VecTask:
             rbuf = rbuf + 1
             due = done_prev & (rbuf >= self.randomizer.frequency)
             key, kdr = jax.random.split(key)
-            fresh = self.randomizer.sample(kdr, n, frames)
+            fresh = self.randomizer.sample(
+                kdr, n, frames,
+                adr=(
+                    self.adr.dr_overrides(state.adr)
+                    if self.adr is not None else None
+                ),
+            )
             setup_names = {
                 s.name for s in self.randomizer.model_specs if s.setup_only
             }

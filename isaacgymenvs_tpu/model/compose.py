@@ -105,6 +105,7 @@ def compose(models: List[Model], prefixes: List[str] | None = None) -> Tuple[Mod
             "dof_max_effort", "dof_max_velocity", "gear", "ctrl_range",
             "geom_pos", "geom_quat", "geom_size", "geom_friction",
             "cpoint_pos", "cpoint_radius", "cpoint_friction", "qpos0",
+            "dof_friction",
             "att_offset", "att_target", "tendon_range", "tendon_stiffness",
             "tendon_damping",
         ):

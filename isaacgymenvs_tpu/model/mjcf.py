@@ -422,11 +422,13 @@ def parse_mjcf(root: ET.Element, base_dir: str = ".") -> Model:
                     rng = (r[0], r[1])
                 armature = float(ja.get("armature", 0.0))
                 damping = float(ja.get("damping", 0.0))
+                fric = float(ja.get("frictionloss", 0.0))
                 stiffness = float(ja.get("stiffness", 0.0))
                 ref = float(ja.get("ref", 0.0)) * (deg2rad if jtype == HINGE else 1.0)
             else:
                 jtype, jname, jaxis, jpos = FIXED, "", np.array([0, 0, 1.0]), np.zeros(3)
                 rng, armature, damping, stiffness, ref = (None, None), 0.0, 0.0, 0.0, 0.0
+                fric = 0.0
 
             body_idx = b.add_body(
                 parent=body_idx,
@@ -442,6 +444,7 @@ def parse_mjcf(root: ET.Element, base_dir: str = ".") -> Model:
                 inertia=inertia if is_last else np.zeros((3, 3)),
                 armature=armature,
                 damping=damping,
+                friction_loss=fric,
                 stiffness=stiffness,
                 limit=rng,
             )

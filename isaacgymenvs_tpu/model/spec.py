@@ -129,6 +129,13 @@ class Model:
     tendon_range: jax.Array = None  # (nt, 2)
     tendon_stiffness: jax.Array = None  # (nt,) limit_stiffness
     tendon_damping: jax.Array = None  # (nt,)
+    # Coulomb joint friction torque magnitude (PhysX DOF friction /
+    # MJCF frictionloss; distinct from viscous dof_damping). None = 0.
+    dof_friction: jax.Array = None  # (nv,)
+    # per-candidate-point restitution (PhysX rigid_shape_properties
+    # restitution; Newton bounce when impact speed exceeds
+    # bounce_threshold_velocity). None = 0.
+    cpoint_restitution: jax.Array = None  # (ncp,)
     # SDF collision grids (the TPU answer to PhysX's SDF collision mode,
     # reference docs/factory.md:101-131 and the URDF <sdf resolution/>
     # element): a voxelized signed-distance grid rigidly attached to a
@@ -198,6 +205,7 @@ class ModelBuilder:
     geom_quat: list = dataclasses.field(default_factory=list)
     geom_size: list = dataclasses.field(default_factory=list)
     geom_friction: list = dataclasses.field(default_factory=list)
+    dof_friction_l: list = dataclasses.field(default_factory=list)
     geom_mesh_points: list = dataclasses.field(default_factory=list)  # None or (k,3)
     qpos0_free: dict = dataclasses.field(default_factory=dict)  # body -> (pos, quat)
     qpos0_scalar: dict = dataclasses.field(default_factory=dict)  # body -> float
@@ -220,6 +228,7 @@ class ModelBuilder:
         armature: float = 0.0,
         damping: float = 0.0,
         stiffness: float = 0.0,
+        friction_loss: float = 0.0,
         limit=(None, None),
         max_effort: float = np.inf,
         max_velocity: float = np.inf,
@@ -246,6 +255,7 @@ class ModelBuilder:
         for _ in range(nvd):
             self.armature.append(float(armature))
             self.dof_damping.append(float(damping))
+            self.dof_friction_l.append(float(friction_loss))
             self.dof_stiffness.append(float(stiffness))
             # free-joint dofs are never limited
             if jnt_type == FREE:
@@ -475,6 +485,10 @@ class ModelBuilder:
             tendon_range=jnp.asarray(tendon_range),
             tendon_stiffness=jnp.zeros(nt, f32),
             tendon_damping=jnp.zeros(nt, f32),
+            dof_friction=jnp.asarray(self.dof_friction_l, f32),
+            # cpoint_restitution stays None (= all zero) so the many
+            # cpoint-surgery sites (_strip_points, add_contact_points)
+            # need not maintain it; consumers treat None as zeros
         )
 
 

@@ -369,6 +369,7 @@ def parse_urdf(
             axis = np.array([0.0, 0, 1])
             jname = f"{link_name}_root"
             rng, damping, max_eff, max_vel = (None, None), 0.0, np.inf, np.inf
+            fric = 0.0
         else:
             jtype = _JOINT_MAP[jnt_elem.get("type")]
             pos, quat = _origin(jnt_elem.find("origin"))
@@ -390,6 +391,8 @@ def parse_urdf(
                     max_vel = float(lim.get("velocity"))
             dyn = jnt_elem.find("dynamics")
             damping = float(dyn.get("damping", 0)) if dyn is not None else 0.0
+            # URDF <dynamics friction=...> = Coulomb joint friction
+            fric = float(dyn.get("friction", 0)) if dyn is not None else 0.0
 
         idx = b.add_body(
             parent=parent_idx,
@@ -404,6 +407,7 @@ def parse_urdf(
             ipos=com,
             inertia=inertia,
             damping=damping,
+            friction_loss=fric,
             limit=rng,
             max_effort=max_eff,
             max_velocity=max_vel,
