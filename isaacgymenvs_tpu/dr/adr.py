@@ -39,6 +39,11 @@ class AdrParamSpec(NamedTuple):
     limit_hi: float
     delta: float
     delta_style: str  # 'additive' | 'multiplicative'
+    # dotted DR path for physics ("builtin") params that flow through the
+    # dict-DR engine instead of the task's tensor stack (reference
+    # adr_vec_task.py:543-544): "actor_params.hand.dof_properties.
+    # damping.range" -> DR spec "hand.dof_properties.damping"
+    range_path: str = ""
 
 
 @struct.dataclass
@@ -73,9 +78,20 @@ class ADR:
                     limit_hi=float(lim[1]),
                     delta=float(p.get("delta", 0.01)),
                     delta_style=str(p.get("delta_style", "additive")),
+                    range_path=str(p.get("range_path", "") or ""),
                 )
             )
         self.P = len(self.specs)
+        # range_path params: param index -> DR spec name
+        self.dr_params = {}
+        for i, spec in enumerate(self.specs):
+            if spec.range_path:
+                name = spec.range_path
+                if name.startswith("actor_params."):
+                    name = name[len("actor_params."):]
+                if name.endswith(".range"):
+                    name = name[: -len(".range")]
+                self.dr_params[name] = i
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> AdrState:
@@ -124,26 +140,30 @@ class ADR:
         if not self.update_ranges:
             return state
         P, Q = self.P, self.queue_len
+        N = self.num_envs
         wb = state.worker_boundary
         is_b = (wb >= 0) & done
-        # one mean entry per boundary per step (documented divergence)
-        seg = jnp.where(is_b, wb, 2 * P)  # overflow bucket
-        sums = jax.ops.segment_sum(
-            jnp.where(is_b, objective, 0.0), seg, num_segments=2 * P + 1
-        )[: 2 * P]
-        cnts = jax.ops.segment_sum(
-            is_b.astype(jnp.float32), seg, num_segments=2 * P + 1
-        )[: 2 * P]
-        has = cnts > 0
-        entry = jnp.where(has, sums / jnp.maximum(cnts, 1.0), 0.0)
-        pos = jnp.clip(state.counts, 0, Q - 1)
-        queues = jnp.where(
-            has[:, None]
-            & (jnp.arange(Q)[None, :] == pos[:, None]),
-            entry[:, None],
-            state.queues,
+        # PER-ENV pushes (reference adr_vec_task.py:556 extends the
+        # boundary's queue with every finishing env's objective): sort
+        # envs by boundary id, rank within each group, and scatter each
+        # entry into the boundary's ring at (count + rank) mod Q. Fixed
+        # shapes; non-boundary/unfinished envs go to row 2P which the
+        # scatter drops as out-of-bounds.
+        seg = jnp.where(is_b, wb, 2 * P)  # (N,)
+        order = jnp.argsort(seg)
+        sseg = seg[order]
+        first = jnp.searchsorted(sseg, sseg, side="left")
+        rank = jnp.arange(N) - first
+        base_cnt = state.counts[jnp.clip(sseg, 0, 2 * P - 1)]
+        slot = (base_cnt + rank) % Q
+        row = jnp.where(sseg < 2 * P, sseg, 2 * P)  # OOB row -> dropped
+        queues = state.queues.at[row, slot].set(
+            objective[order], mode="drop"
         )
-        counts = state.counts + has.astype(jnp.int32)
+        cnts = jax.ops.segment_sum(
+            is_b.astype(jnp.int32), seg, num_segments=2 * P + 1
+        )[: 2 * P]
+        counts = state.counts + cnts
 
         full = counts >= Q
         mean_perf = jnp.sum(queues, axis=1) / Q
@@ -202,3 +222,22 @@ class ADR:
 
     def param_names(self):
         return [s.name for s in self.specs]
+
+    # ------------------------------------------------------------------
+    def dr_overrides(self, state: AdrState):
+        """{dr_spec_name: {"lo","hi","pin_mask","pin_val"}} feeding the
+        dict-DR engine: evolving ranges for range_path params plus per-env
+        boundary pins (reference get_dr_params_by_env_id
+        adr_vec_task.py:570-610)."""
+        out = {}
+        wb = state.worker_boundary
+        for name, i in self.dr_params.items():
+            mask = (wb >= 0) & (wb // 2 == i)
+            val = jnp.where((wb % 2) == 1, state.hi[i], state.lo[i])
+            out[name] = {
+                "lo": state.lo[i],
+                "hi": state.hi[i],
+                "pin_mask": mask,
+                "pin_val": val,
+            }
+        return out

@@ -36,9 +36,10 @@ _ACTOR_PARAM_MAP = {
     ("dof_properties", "lower"): "dof_limit_lower",
     ("dof_properties", "upper"): "dof_limit_upper",
     ("dof_properties", "armature"): "armature",
-    ("dof_properties", "friction"): "dof_damping",  # joint friction ~ damping
+    ("dof_properties", "effort"): "dof_max_effort",
+    ("dof_properties", "friction"): "dof_friction",  # Coulomb joint friction
     ("rigid_shape_properties", "friction"): "cpoint_friction",
-    ("rigid_shape_properties", "restitution"): None,  # no restitution model
+    ("rigid_shape_properties", "restitution"): "cpoint_restitution",
 }
 
 
@@ -52,9 +53,12 @@ class DRSpec(NamedTuple):
     schedule: str  # 'constant' | 'linear'
     schedule_steps: float
     setup_only: bool
+    actor: Optional[str] = None  # actor name the spec is scoped to
 
 
-def _spec_from_dict(name: str, leaf: Optional[str], d: Dict[str, Any]) -> DRSpec:
+def _spec_from_dict(
+    name: str, leaf: Optional[str], d: Dict[str, Any], actor: Optional[str] = None
+) -> DRSpec:
     rng = d.get("range", [0.0, 1.0])
     return DRSpec(
         name=name,
@@ -66,6 +70,7 @@ def _spec_from_dict(name: str, leaf: Optional[str], d: Dict[str, Any]) -> DRSpec
         schedule=str(d.get("schedule", "constant")),
         schedule_steps=float(d.get("schedule_steps", 1.0)),
         setup_only=bool(d.get("setup_only", False)),
+        actor=actor,
     )
 
 
@@ -73,14 +78,18 @@ def _identity_value(spec: DRSpec):
     return 1.0 if spec.operation == "scaling" else 0.0
 
 
-def _sample_spec(spec: DRSpec, key, shape, sched_scale):
+def _sample_spec(spec: DRSpec, key, shape, sched_scale, lo=None, hi=None):
     """Draw the randomization factor/offset for one spec.
 
     Schedule semantics mirror dr_utils.generate_random_samples:71: the
     sampled perturbation interpolates from identity toward full strength
-    as training progresses (linear) or switches on (constant)."""
+    as training progresses (linear) or switches on (constant). `lo`/`hi`
+    override the static spec range with traced values (evolving ADR
+    ranges, reference adr_vec_task.py:543-544 range_path rewrite)."""
+    lo = spec.lo if lo is None else lo
+    hi = spec.hi if hi is None else hi
     if spec.distribution == "gaussian":
-        mu, var = spec.lo, spec.hi
+        mu, var = lo, hi
         if spec.operation == "scaling":
             mu = mu + (1.0 - mu) * (1.0 - sched_scale)
         else:
@@ -88,12 +97,13 @@ def _sample_spec(spec: DRSpec, key, shape, sched_scale):
         var = var * sched_scale
         return mu + var * jax.random.normal(key, shape)
     if spec.distribution == "loguniform":
-        lo = np.log(max(spec.lo, 1e-12))
-        hi = np.log(max(spec.hi, 1e-12))
-        u = jax.random.uniform(key, shape, minval=lo, maxval=hi)
-        v = jnp.exp(u)
+        llo = jnp.log(jnp.maximum(lo, 1e-12))
+        lhi = jnp.log(jnp.maximum(hi, 1e-12))
+        u = jax.random.uniform(key, shape)
+        v = jnp.exp(llo + u * (lhi - llo))
     else:  # uniform
-        v = jax.random.uniform(key, shape, minval=spec.lo, maxval=spec.hi)
+        u = jax.random.uniform(key, shape)
+        v = lo + u * (hi - lo)
     ident = _identity_value(spec)
     return ident + (v - ident) * sched_scale
 
@@ -106,8 +116,19 @@ class DomainRandomizer:
     """Parses a reference-schema randomization_params dict and produces
     per-env randomization samples + their application functions."""
 
-    def __init__(self, model: Model, params: Dict[str, Any]):
+    def __init__(
+        self,
+        model: Model,
+        params: Dict[str, Any],
+        actor_ranges: Optional[Dict[str, Tuple[int, int]]] = None,
+    ):
+        """actor_ranges: optional {actor_name: (body_lo, body_hi)} scoping
+        each actor's specs to its own bodies/dofs/points (the reference
+        randomizes per actor handle); absent actors fall back to the
+        whole-model leaf (legacy behavior, correct for single-actor
+        models)."""
         self.model = model
+        self.actor_ranges = actor_ranges or {}
         self.frequency = int(params.get("frequency", 1))
         self.obs_spec = (
             _spec_from_dict("observations", None, params["observations"])
@@ -136,8 +157,45 @@ class DomainRandomizer:
                     if not isinstance(cfg, dict):
                         continue
                     self.model_specs.append(
-                        _spec_from_dict(f"{actor}.{group}.{prop}", leaf, cfg)
+                        _spec_from_dict(
+                            f"{actor}.{group}.{prop}", leaf, cfg, actor=actor
+                        )
                     )
+        # per-spec boolean mask over its leaf (None = whole leaf)
+        self.masks: Dict[str, Optional[jax.Array]] = {
+            spec.name: self._leaf_mask(spec) for spec in self.model_specs
+        }
+
+    def _leaf_base(self, leaf: str):
+        v = getattr(self.model, leaf)
+        if v is not None:
+            return v
+        if leaf == "cpoint_restitution":
+            return jnp.zeros(self.model.ncp)
+        if leaf == "dof_friction":
+            return jnp.zeros(self.model.nv)
+        raise ValueError(f"Model leaf {leaf} is None and has no default")
+
+    def _leaf_mask(self, spec: DRSpec):
+        """Boolean mask of spec.leaf selecting the spec's actor."""
+        rng = self.actor_ranges.get(spec.actor)
+        if rng is None:
+            return None
+        b0, b1 = rng
+        m = self.model
+        if spec.leaf.startswith("body_"):
+            sel = (np.arange(m.nbody) >= b0) & (np.arange(m.nbody) < b1)
+        elif spec.leaf.startswith("dof_") or spec.leaf == "armature":
+            db = np.asarray(m.dof_body)
+            sel = (db >= b0) & (db < b1)
+        elif spec.leaf.startswith("cpoint_"):
+            cb = np.asarray(m.cpoint_body)
+            sel = (cb >= b0) & (cb < b1)
+        else:
+            return None
+        base = self._leaf_base(spec.leaf)
+        sel = jnp.asarray(sel)
+        return sel.reshape(sel.shape + (1,) * (base.ndim - 1))
 
     # ---- sampling ------------------------------------------------------
     def _sched_scale(self, spec: DRSpec, frames):
@@ -147,16 +205,31 @@ class DomainRandomizer:
         # reference; at the engine level we apply full strength (the gate
         # is covered by the linear option in practice)
 
-    def sample(self, key, n: int, frames) -> Dict[str, jax.Array]:
+    def sample(self, key, n: int, frames, adr=None) -> Dict[str, jax.Array]:
         """Per-env randomization sample for all model leaves + gravity.
-        Returns dict name -> (n, *leaf.shape) factors/offsets."""
+        Returns dict name -> (n, *leaf.shape) factors/offsets.
+
+        `adr`: optional {spec_name: {"lo", "hi", "pin_mask", "pin_val"}}
+        from the ADR engine -- evolving range overrides plus per-env
+        boundary-worker pins (reference adr_vec_task.py:543-610: range_path
+        params flow through the dict-DR path with boundary envs pinned at
+        a range edge)."""
+        adr = adr or {}
         out = {}
         for spec in self.model_specs:
             key, k = jax.random.split(key)
-            base = getattr(self.model, spec.leaf)
-            out[spec.name] = _sample_spec(
-                spec, k, (n,) + base.shape, self._sched_scale(spec, frames)
+            base = self._leaf_base(spec.leaf)
+            ov = adr.get(spec.name)
+            v = _sample_spec(
+                spec, k, (n,) + base.shape, self._sched_scale(spec, frames),
+                lo=None if ov is None else ov["lo"],
+                hi=None if ov is None else ov["hi"],
             )
+            if ov is not None and ov.get("pin_mask") is not None:
+                pin_mask = ov["pin_mask"].reshape((n,) + (1,) * base.ndim)
+                pin_val = ov["pin_val"].reshape((n,) + (1,) * base.ndim)
+                v = jnp.where(pin_mask, pin_val, v)
+            out[spec.name] = v
         if self.gravity_spec is not None:
             key, k = jax.random.split(key)
             out["gravity"] = _sample_spec(
@@ -169,7 +242,7 @@ class DomainRandomizer:
         """Sample equal to 'no randomization' (used pre-first-reset)."""
         out = {}
         for spec in self.model_specs:
-            base = getattr(self.model, spec.leaf)
+            base = self._leaf_base(spec.leaf)
             out[spec.name] = jnp.full((n,) + base.shape, _identity_value(spec))
         if self.gravity_spec is not None:
             out["gravity"] = jnp.full(
@@ -185,17 +258,19 @@ class DomainRandomizer:
         return axes.replace(**{leaf: 0 for leaf in leaves})
 
     def batched_model(self, model: Model, sample: Dict[str, jax.Array]) -> Model:
-        """Model with randomized leaves batched (num_envs, ...)."""
+        """Model with randomized leaves batched (num_envs, ...); each spec
+        only perturbs its actor's slice of the leaf (self.masks)."""
         updates = {}
         for spec in self.model_specs:
             base = updates.get(spec.leaf)
             if base is None:
                 base = jnp.broadcast_to(
-                    getattr(model, spec.leaf),
-                    sample[spec.name].shape,
+                    self._leaf_base(spec.leaf), sample[spec.name].shape
                 )
-            updates[spec.leaf] = _apply_op(
-                base, sample[spec.name], spec.operation
+            applied = _apply_op(base, sample[spec.name], spec.operation)
+            mask = self.masks[spec.name]
+            updates[spec.leaf] = (
+                applied if mask is None else jnp.where(mask[None], applied, base)
             )
         return model.replace(**updates)
 

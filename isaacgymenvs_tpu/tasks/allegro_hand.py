@@ -55,6 +55,11 @@ class AllegroHand(ShadowHand):
         self.num_states = 88 if self.asymmetric_obs else 0
         self.num_acts = 16
 
+    def dr_actor_ranges(self):
+        """Scope DR actor_params to the hand vs object bodies (the
+        reference's per-actor-handle property randomization)."""
+        return getattr(self, "_actor_ranges", None)
+
     def build_model(self):
         env = self.cfg["env"]
         asset = env.get("asset", {}).get(
@@ -75,6 +80,10 @@ class AllegroHand(ShadowHand):
         obj = load_urdf(asset_path(obj_file))
         model, refs = compose([hand, obj], ["", "object:"])
         self.hand_ref, self.obj_ref = refs
+        self._actor_ranges = {
+            "hand": (0, self.obj_ref.body0),
+            "object": (self.obj_ref.body0, self.obj_ref.body0 + obj.nbody),
+        }
 
         # hand root pose: z=0.5 with Ry(pi)*Rx(0.47pi)*Rz(0.25pi)
         # (reference allegro_hand.py:283-285; gymapi quat product applies
