@@ -22,7 +22,14 @@ from .franka_cube_stack import _box_actor
 
 OBJ_SIZE = 0.065
 MAX_TORQUE = 0.36
+MAX_VELOCITY = 10.0  # rad/s (reference _max_velocity_radps :202)
 ARENA_RADIUS = 0.195
+
+# PD gains of the finger drives at 250 Hz + the safety-check damping
+# (reference _robot_dof_gains :311-320, from the rrc_simulation stack)
+STIFFNESS = np.tile(np.array([10.0, 10.0, 10.0], np.float32), 3)
+DAMPING = np.tile(np.array([0.1, 0.3, 0.001], np.float32), 3)
+SAFETY_DAMPING = np.tile(np.array([0.08, 0.08, 0.04], np.float32), 3)
 
 
 def gen_keypoints(pos, quat, size=OBJ_SIZE):
@@ -52,13 +59,36 @@ def lgsk_kernel(x, scale=30.0, eps=2.0):
 
 
 class Trifinger(VecTask):
+    # per-component MDP specs (reference trifinger.py:326-352); the obs
+    # layout and its normalization bounds are derived from these
+    OBS_SPEC = {
+        "robot_q": 9,
+        "robot_u": 9,
+        "object_q": 7,
+        "object_q_des": 7,
+        "command": 9,
+    }
+    STATE_EXTRA_SPEC = {
+        "object_u": 6,
+        "fingertip_state": 3 * 13,
+        "robot_a": 9,
+        "fingertip_wrench": 3 * 6,
+    }
+    ACTION_SPEC = {"command": 9}
+
     def __init__(self, cfg):
         env = cfg["env"]
         self.task_difficulty = int(env.get("task_difficulty", 4))
         self.asymmetric_obs = bool(env.get("asymmetric_obs", True))
         self.normalize_action = bool(env.get("normalize_action", True))
+        self.normalize_obs = bool(env.get("normalize_obs", True))
         self.apply_safety_damping = bool(env.get("apply_safety_damping", True))
         self.command_mode = str(env.get("command_mode", "torque"))
+        term = (env.get("termination_conditions") or {}).get("success", {})
+        self.position_tolerance = float(term.get("position_tolerance", 0.02))
+        self.orientation_tolerance = float(
+            term.get("orientation_tolerance", 0.4)
+        )
         rt = env.get("reward_terms", {})
         self.finger_move_penalty_weight = float(
             rt.get("finger_move_penalty", {}).get("weight", -0.05)
@@ -76,9 +106,13 @@ class Trifinger(VecTask):
             rt.get("keypoints_dist", {}).get("activate", True)
         )
         env.setdefault("episodeLength", 750)
-        self.num_obs = 41
-        self.num_states = 113 if self.asymmetric_obs else 0
-        self.num_acts = 9
+        self.num_obs = sum(self.OBS_SPEC.values())
+        self.num_states = (
+            self.num_obs + sum(self.STATE_EXTRA_SPEC.values())
+            if self.asymmetric_obs
+            else 0
+        )
+        self.num_acts = sum(self.ACTION_SPEC.values())
         super().__init__(cfg)
         self._setup()
 
@@ -89,11 +123,10 @@ class Trifinger(VecTask):
             ),
             fix_base=True,
         )
-        # torque-mode dofs with safety damping (reference :315-320 applies
-        # [0.08, 0.08, 0.04] per finger as velocity damping)
-        damp = np.tile(np.array([0.08, 0.08, 0.04], np.float32), 3)
+        # safety damping + PD are applied EXPLICITLY in compute_force
+        # with a second torque saturation, matching the reference's
+        # applied-torque pipeline (:1027-1041)
         robot = robot.replace(
-            dof_damping=jnp.asarray(damp),
             dof_max_effort=jnp.full(robot.nv, MAX_TORQUE),
         )
         obj = _box_actor(
@@ -147,6 +180,27 @@ class Trifinger(VecTask):
         )
         self.oq = m.q_adr[self.obj_ref.body0]
         self.ov = m.v_adr[self.obj_ref.body0]
+        # action scale (reference __configure_mdp_spaces :598-607)
+        if self.command_mode == "position":
+            self.action_lo, self.action_hi = self.dof_lower, self.dof_upper
+        else:
+            self.action_lo = jnp.full(9, -MAX_TORQUE)
+            self.action_hi = jnp.full(9, MAX_TORQUE)
+        # observation normalization bounds (:620-641): robot_q limits,
+        # robot_u +/-10, object + goal pose (position box x quat +/-1),
+        # command (+/-1 when the policy emits normalized actions)
+        obj_lo = jnp.concatenate(
+            [jnp.array([-0.3, -0.3, 0.0]), -jnp.ones(4)]
+        )
+        obj_hi = jnp.concatenate([jnp.array([0.3, 0.3, 0.3]), jnp.ones(4)])
+        act_lo = -jnp.ones(9) if self.normalize_action else self.action_lo
+        act_hi = jnp.ones(9) if self.normalize_action else self.action_hi
+        self.obs_lo = jnp.concatenate(
+            [self.dof_lower, jnp.full(9, -MAX_VELOCITY), obj_lo, obj_lo, act_lo]
+        )
+        self.obs_hi = jnp.concatenate(
+            [self.dof_upper, jnp.full(9, MAX_VELOCITY), obj_hi, obj_hi, act_hi]
+        )
 
     # ---- goal sampling (difficulty levels, :927-980) -------------------
     def _sample_goal(self, key):
@@ -192,19 +246,43 @@ class Trifinger(VecTask):
         q = q.at[self.oq + 3 : self.oq + 7].set(quat)
         goal = self._sample_goal(kg)
         tip0 = jnp.zeros((3, 3))
-        return q, qd, {"goal": goal, "last_tips": tip0, "last_obj": pos}
+        return q, qd, {
+            "goal": goal,
+            "last_tips": tip0,
+            "last_obj": pos,
+            "success": jnp.zeros(()),
+            "success_pos": jnp.zeros(()),
+            "success_rot": jnp.zeros(()),
+        }
 
-    # ---- control: normalized torques + safety damping ------------------
+    # ---- control (reference _apply... :1000-1043) -----------------------
     def compute_force(self, action, q, qd, task):
+        """torque mode: actions ARE joint torques; position mode: PD to
+        the commanded joint positions -- both saturated to +/-0.36 Nm,
+        then safety-damped and saturated AGAIN (reference :1027-1041)."""
         m = self.model
-        tau = action * MAX_TORQUE if self.normalize_action else action
+        if self.normalize_action:
+            cmd = self.action_lo + (action + 1.0) * 0.5 * (
+                self.action_hi - self.action_lo
+            )
+        else:
+            cmd = action
+        qj = q[self.q_idx]
+        uj = qd[self.v_idx]
+        if self.command_mode == "position":
+            tau = jnp.asarray(STIFFNESS) * (cmd - qj) - jnp.asarray(DAMPING) * uj
+        else:
+            tau = cmd
         tau = jnp.clip(tau, -MAX_TORQUE, MAX_TORQUE)
+        if self.apply_safety_damping:
+            tau = tau - jnp.asarray(SAFETY_DAMPING) * uj
+            tau = jnp.clip(tau, -MAX_TORQUE, MAX_TORQUE)
         qfrc = jnp.zeros(m.nv).at[self.v_idx].set(tau)
         return qfrc, jnp.zeros((m.nbody, 6))
 
     # ---- observations ---------------------------------------------------
     def observe(self, q, qd, kin, sensors, task, actions, progress):
-        return jnp.concatenate(
+        obs = jnp.concatenate(
             [
                 q[self.q_idx],
                 qd[self.v_idx],
@@ -213,6 +291,10 @@ class Trifinger(VecTask):
                 actions,
             ]
         )
+        if self.normalize_obs:
+            # scale_transform to [-1, 1] per component (reference :775-781)
+            obs = 2.0 * (obs - self.obs_lo) / (self.obs_hi - self.obs_lo) - 1.0
+        return obs
 
     def observe_state(self, q, qd, kin, sensors, task, actions, progress):
         tips = self.tip_bodies
@@ -263,8 +345,32 @@ class Trifinger(VecTask):
 
         reward = move_pen + reach + pose_reward
         done = progress >= self.max_episode_length - 1
-        new_task = {"goal": goal, "last_tips": tips, "last_obj": obj_pos}
+        # success stats per difficulty (reference _check_termination
+        # :1070-1096): position within tolerance; difficulty 4 also
+        # orientation within tolerance
+        pos_ok = jnp.linalg.norm(obj_pos - goal[:3]) <= self.position_tolerance
+        dq = maths.quat_mul(obj_quat, maths.quat_conjugate(goal[3:7]))
+        ang = 2.0 * jnp.arcsin(
+            jnp.clip(jnp.linalg.norm(dq[:3]), 0.0, 1.0)
+        )
+        rot_ok = ang <= self.orientation_tolerance
+        success = pos_ok & rot_ok if self.task_difficulty == 4 else pos_ok
+        new_task = {
+            "goal": goal,
+            "last_tips": tips,
+            "last_obj": obj_pos,
+            "success": success.astype(jnp.float32),
+            "success_pos": pos_ok.astype(jnp.float32),
+            "success_rot": rot_ok.astype(jnp.float32),
+        }
         return reward, done, new_task
+
+    def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
+        return {
+            "successes": task["success"],
+            "successes_pos": task["success_pos"],
+            "successes_quat": task["success_rot"],
+        }
 
     def true_objective(self, q, qd):
         return -jnp.linalg.norm(q[self.oq : self.oq + 3])
