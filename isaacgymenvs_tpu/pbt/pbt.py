@@ -167,8 +167,8 @@ class PbtManager:
         best = ranked[-n_best:]
 
         if self.policy_idx not in worst and not self.dbg_mode:
-            # healthy policy: still mutate own params occasionally? The
-            # reference mutates only on replacement; just continue.
+            # healthy policy: untouched (reference pbt.py:373-376
+            # "don't touch the policies that are doing okay")
             return None
 
         # outlier-trimmed sigma (pbt.py:400-410)
@@ -179,21 +179,31 @@ class PbtManager:
             self.threshold_frac_std * sigma,
             self.threshold_frac_abs * abs(best_obj),
         )
-        if best_obj - objective <= threshold and not self.dbg_mode:
-            return None
-
         donor = random.choice(best)
+        if best_obj - objective <= threshold and not self.dbg_mode:
+            # gap too small to justify adopting the donor's weights, but a
+            # worst policy ALWAYS mutates: "replace with self" -- keep own
+            # weights, restart with mutated hyperparameters (reference
+            # pbt.py:419-432)
+            donor = self.policy_idx
         donor_meta = pop[donor]
         if donor_meta is None:
             return None
+        # 50/50: adopt the donor's params or keep mutating our own
+        # (reference pbt.py:437-441)
+        src_params = (
+            donor_meta.get("params", params) if random.random() < 0.5 else params
+        )
         new_params = mutate(
-            donor_meta.get("params", params),
+            src_params,
             self.params_to_mutate,
             self.mutation_rate,
             self.change_min,
             self.change_max,
         )
-        weights = donor_meta.get("checkpoint")
+        weights = (
+            donor_meta.get("checkpoint") if donor != self.policy_idx else None
+        )
         if weights is not None and not os.path.exists(weights):
             weights = None
         print(

@@ -70,3 +70,34 @@ def test_param_grid():
     cmds = list(exp.generate_experiments())
     assert len(cmds) == 6
     assert "seed=1" in cmds[0][1] and "pbt.policy_idx=0" in cmds[0][1]
+
+
+def test_worst_policy_always_mutates_even_below_threshold(tmp_path):
+    """A worst policy whose gap to the best is below the replacement
+    threshold still restarts with mutated hyperparameters and its OWN
+    weights ("replace with self", reference pbt.py:419-441)."""
+    ws = str(tmp_path / "pop")
+    mutations = {"lr": "mutate_float"}
+    managers = [
+        PbtManager(
+            ws, i, 4, mutations, interval_steps=1000, start_after=0,
+            initial_delay=0, mutation_rate=1.0,
+        )
+        for i in range(4)
+    ]
+    weights = {}
+    # nearly identical objectives: gap below any threshold
+    for i, m in enumerate(managers):
+        wp = str(tmp_path / f"w{i}.ckpt")
+        open(wp, "w").write("weights")
+        weights[i] = wp
+        m.session_start_frames = 0
+        m.save_checkpoint(1000, 100.0 + 1e-6 * i, {"lr": 3e-4}, wp)
+    random.seed(1)
+    worst = managers[0]
+    worst.session_start_frames = 0
+    result = worst.maybe_evolve(1000, 100.0, {"lr": 3e-4}, weights[0])
+    assert result is not None, "worst policy must still mutate"
+    new_params, adopted = result
+    assert adopted is None  # keeps its own weights
+    assert new_params["lr"] != 3e-4
