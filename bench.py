@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""Headline benchmark: Ant env-steps/s on the available device(s).
+"""Headline benchmark: env-steps/s on the available device(s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the Isaac Gym technical paper (arXiv:2108.10470, linked from the
 reference README) reports ~3e5 env-steps/s for Ant-class tasks on one A100
 (the reference repo itself publishes no throughput tables — BASELINE.md).
-vs_baseline = our env-steps/s per chip / 3e5.
+vs_baseline = our Ant env-steps/s per chip / 3e5.
+
+Env knobs:
+  BENCH_NUM_ENVS / BENCH_HORIZON — override the Ant headline run.
+  BENCH_TASKS=all — additionally measure the BASELINE.md task table
+    (Cartpole/Ant/Humanoid/ShadowHand at their reference env counts) and
+    embed it as a "tasks" dict in the same single JSON line.
+  BENCH_TASKS=Name1,Name2 — measure a custom task list.
 """
 from __future__ import annotations
 
@@ -18,20 +25,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_STEPS_PER_SEC = 3.0e5  # A100 Ant-class, Isaac Gym paper
 
+# BASELINE.md operating points (reference cfg/task/*.yaml numEnvs)
+TABLE = {
+    "Cartpole": 512,
+    "Ant": 4096,
+    "Humanoid": 4096,
+    "ShadowHand": 16384,
+}
 
-def main():
+
+def measure(name: str, num_envs: int, horizon: int = 16, reps: int = 8):
     import jax
     import jax.numpy as jnp
 
     from isaacgymenvs_tpu.tasks import task_map
 
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    horizon = int(os.environ.get("BENCH_HORIZON", 16))
-    cfg = {
-        "env": {"numEnvs": num_envs, "clipActions": 1.0},
-        "sim": {"dt": 1 / 60, "substeps": 2},
-    }
-    env = task_map["Ant"](cfg)
+    if name == "Ant":
+        # headline operating point: keep the exact minimal cfg the
+        # recorded BENCH numbers were measured with
+        cfg = {
+            "env": {"numEnvs": num_envs, "clipActions": 1.0},
+            "sim": {"dt": 1 / 60, "substeps": 2},
+        }
+    else:
+        from isaacgymenvs_tpu.utils.config import load_config
+
+        cfg = load_config([f"task={name}", f"num_envs={num_envs}"])["task"]
+    env = task_map[name](cfg)
     state, obs = env.reset(jax.random.PRNGKey(0))
 
     def rollout(state, key):
@@ -44,7 +64,9 @@ def main():
             state, obs, rew, done, extras = env.step(state, actions)
             return (state, key), rew
 
-        (state, key), rews = jax.lax.scan(body, (state, key), None, length=horizon)
+        (state, key), rews = jax.lax.scan(
+            body, (state, key), None, length=horizon
+        )
         return state, rews
 
     run = jax.jit(rollout)
@@ -53,24 +75,41 @@ def main():
     jax.block_until_ready(rews)
 
     t0 = time.perf_counter()
-    reps = 8
     for _ in range(reps):
         state, rews = run(state, key)
     jax.block_until_ready(rews)
     dt = time.perf_counter() - t0
+    return reps * horizon * num_envs / dt
 
-    steps = reps * horizon * num_envs
-    sps = steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"Ant env-steps/s ({num_envs} envs, 1 chip)",
-                "value": round(sps),
-                "unit": "env-steps/s",
-                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
-            }
-        )
-    )
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    horizon = int(os.environ.get("BENCH_HORIZON", 16))
+    ant_sps = measure("Ant", num_envs, horizon)
+    out = {
+        "metric": f"Ant env-steps/s ({num_envs} envs, 1 chip)",
+        "value": round(ant_sps),
+        "unit": "env-steps/s",
+        "vs_baseline": round(ant_sps / BASELINE_STEPS_PER_SEC, 4),
+    }
+
+    sel = os.environ.get("BENCH_TASKS", "")
+    if sel:
+        names = list(TABLE) if sel == "all" else sel.split(",")
+        tasks = {}
+        for name in names:
+            if name == "Ant":
+                tasks["Ant"] = round(ant_sps)
+                continue
+            try:
+                tasks[name] = round(
+                    measure(name, TABLE.get(name, num_envs), horizon)
+                )
+            except Exception as e:  # keep the headline line intact
+                tasks[name] = f"error: {type(e).__name__}: {e}"
+        out["tasks"] = tasks
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -417,6 +417,11 @@ class ShadowHand(VecTask):
         }
         return reward, done, new_task
 
+    def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
+        """Consecutive-success stat for the eval printer / TB (reference
+        shadow_hand.py:426-435 success-stat printer + av_factor track)."""
+        return {"consecutive_successes": task["successes"]}
+
     def _recompute_targets(self, task, action):
         prev = task["targets"]
         act_idx = self.actuated_idx

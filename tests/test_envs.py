@@ -47,12 +47,18 @@ def test_env_contract(name, num_obs, num_acts):
     state, obs = env.reset(jax.random.PRNGKey(0))
     assert obs.shape == (8, num_obs)
     step = jax.jit(env.step)
+    # RANDOM actions, not zeros: exercises the control path + contact
+    # dynamics off the resting manifold (VERDICT round-1 test-depth gap)
+    key = jax.random.PRNGKey(7)
     for _ in range(3):
-        state, obs, rew, done, extras = step(state, jnp.zeros((8, num_acts)))
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (8, num_acts), minval=-1.0, maxval=1.0)
+        state, obs, rew, done, extras = step(state, a)
     assert obs.shape == (8, num_obs)
     assert rew.shape == (8,) and done.shape == (8,)
     assert np.isfinite(np.asarray(obs)).all()
     assert np.isfinite(np.asarray(rew)).all()
+    assert np.isfinite(np.asarray(state.sim.q)).all()
     assert "time_outs" in extras
 
 

@@ -8,13 +8,14 @@ import pytest
 from isaacgymenvs_tpu.tasks import task_map
 
 
-def make(obs_type="full_state", n=2):
+def make(obs_type="full_state", n=2, **env_kw):
     cfg = {
         "env": {
             "numEnvs": n,
             "clipActions": 1.0,
             "clipObservations": 5.0,
             "observationType": obs_type,
+            **env_kw,
         },
         "sim": {"dt": 1 / 60, "substeps": 2},
     }
@@ -74,3 +75,33 @@ def test_fall_triggers_reset():
     step = jax.jit(env.step)
     state, obs, rew, done, ex = step(state, jnp.zeros((2, 20)))
     assert bool(np.asarray(done).all())
+
+
+def test_consecutive_success_counting_and_max_reset():
+    """Consecutive successes accumulate across goal-only resets and the
+    episode ends at maxConsecutiveSuccesses (reference
+    compute_hand_reward shadow_hand.py:746 + :380-384 semantics)."""
+    env = make(maxConsecutiveSuccesses=2)
+    state, obs = env.reset(jax.random.PRNGKey(5))
+    step = jax.jit(env.step)
+    oq = env.obj_q
+
+    def force_goal(state):
+        goal = state.task["goal_rot"]
+        q = state.sim.q.at[:, oq + 3: oq + 7].set(goal)
+        return state.replace(sim=state.sim.replace(q=q))
+
+    # success #1: counts, episode continues (goal-only reset)
+    state = force_goal(state)
+    state, obs, rew, done, ex = step(state, jnp.zeros((2, 20)))
+    assert np.asarray(state.task["successes"]).min() >= 1
+    assert not bool(np.asarray(done).any())
+    # success #2: hits maxConsecutiveSuccesses -> episode ends
+    state = force_goal(state)
+    state, obs, rew, done, ex = step(state, jnp.zeros((2, 20)))
+    assert bool(np.asarray(done).all()), np.asarray(state.task["successes"])
+    # the consecutive-success stat is surfaced for the eval printer
+    assert "consecutive_successes" in ex
+    # after the full reset the counter starts over
+    state, obs, rew, done, ex = step(state, jnp.zeros((2, 20)))
+    assert np.asarray(state.task["successes"]).max() == 0
