@@ -22,9 +22,33 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+import flax.linen as nn
+
 from ..utils.checkpoint import load_checkpoint
 from .networks import ActorCritic
 from .ppo import PPO
+
+
+class AMPLatentActor(nn.Module):
+    """ASE/gen_amp-style latent-conditioned LLC actor (the reference's
+    `eval_actor(obs, amp_latents=z)`, hrl_continuous.py:150 -- the
+    gen_amp modules it imports are absent from the reference repo, so
+    this follows the published ASE design): the L2-normalized latent is
+    linearly embedded as a style vector and injected after the first
+    obs trunk layer, rather than naively concatenated to the raw obs."""
+
+    num_actions: int
+    units: tuple = (256, 128, 64)
+    latent_units: int = 64
+
+    @nn.compact
+    def __call__(self, obs, z):
+        emb = nn.elu(nn.Dense(self.latent_units, name="latent_embed")(z))
+        x = nn.elu(nn.Dense(self.units[0], name="fc0")(obs))
+        x = jnp.concatenate([x, emb], axis=-1)
+        for i, u in enumerate(self.units[1:]):
+            x = nn.elu(nn.Dense(u, name=f"fc{i + 1}")(x))
+        return nn.Dense(self.num_actions, name="mu")(x)
 
 
 class HRL(PPO):
@@ -61,31 +85,53 @@ class HRL(PPO):
         )
         # frozen LLC
         llc_mlp = cfg.get("llc_network", {}).get("mlp", {})
-        self.llc_network = ActorCritic(
-            num_actions=env.num_acts,
-            units=tuple(llc_mlp.get("units", (256, 128, 64))),
-        )
+        self._llc_style = str(cfg.get("llc_style", "amp_latent"))
         ckpt = str(cfg.get("llc_checkpoint", "") or "")
-        dummy = jnp.zeros((1, self._llc_obs_dim + self._latent_dim))
+        if self._llc_style == "amp_latent":
+            self.llc_network = AMPLatentActor(
+                num_actions=env.num_acts,
+                units=tuple(llc_mlp.get("units", (256, 128, 64))),
+                latent_units=int(cfg.get("llc_latent_units", 64)),
+            )
+            dummy = (
+                jnp.zeros((1, self._llc_obs_dim)),
+                jnp.zeros((1, self._latent_dim)),
+            )
+        else:
+            self.llc_network = ActorCritic(
+                num_actions=env.num_acts,
+                units=tuple(llc_mlp.get("units", (256, 128, 64))),
+            )
+            dummy = (
+                jnp.zeros((1, self._llc_obs_dim + self._latent_dim)),
+            )
         if ckpt:
             saved = load_checkpoint(ckpt)
             self.llc_params = jax.device_put(saved["params"]["policy"])
         else:
             self.llc_params = self.llc_network.init(
-                jax.random.PRNGKey(seed + 101), dummy
+                jax.random.PRNGKey(seed + 101), *dummy
             )
 
     def _llc_action(self, obs, latent):
-        """Deterministic LLC policy mean on (llc_obs ++ latent)."""
-        llc_in = jnp.concatenate(
-            [obs[..., : self._llc_obs_dim], latent], axis=-1
+        """Deterministic LLC policy mean; the latent is L2-normalized to
+        the unit hypersphere (reference z = normalize(actions) :148)."""
+        z = latent / jnp.maximum(
+            jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-8
         )
-        mu, _, _ = self.llc_network.apply(self.llc_params, llc_in)
+        llc_obs = obs[..., : self._llc_obs_dim]
+        if self._llc_style == "amp_latent":
+            return self.llc_network.apply(self.llc_params, llc_obs, z)
+        mu, _, _ = self.llc_network.apply(
+            self.llc_params, jnp.concatenate([llc_obs, z], axis=-1)
+        )
         return mu
 
     def env_step(self, env_state, obs, latent):
         """llc_steps inner env transitions per macro action; mean reward,
-        OR'd dones (reference hrl_continuous.py:74-99)."""
+        OR'd dones (reference hrl_continuous.py:74-99). Latents are
+        clamped like the reference's preprocess_actions (:105-109); the
+        LLC additionally normalizes them to the unit sphere."""
         latent = jnp.clip(latent, -1.0, 1.0)
 
         def body(carry, _):

@@ -67,6 +67,10 @@ def test_hrl_llc_checkpoint_roundtrip(tmp_path):
     tp["config"].update(
         llc_checkpoint=path, latent_dim=2, llc_obs_dim=2,
         llc_network={"mlp": {"units": [16]}},
+        # a plain-PPO checkpoint is an ActorCritic on obs++latent: use the
+        # concat LLC style (amp_latent checkpoints come from a
+        # latent-conditioned trainer)
+        llc_style="concat",
     )
     agent = HRL(env, tp, seed=0)
     ts = agent.init()
@@ -83,3 +87,21 @@ def test_hrl_train_epoch_runs():
     ts, metrics = agent._train_epoch(ts)
     assert np.isfinite(float(metrics["kl"]))
     assert np.isfinite(float(metrics["a_loss"]))
+
+
+def test_amp_latent_llc_is_style_conditioned():
+    """The default LLC is the ASE-style latent-conditioned actor: its
+    output depends on the (normalized) latent direction, and latents are
+    unit-normalized before conditioning (reference hrl_continuous.py:148
+    z = normalize(actions))."""
+    env = _env(4)
+    agent = HRL(env, TP, seed=0)
+    obs = jnp.ones((4, env.num_obs))
+    z1 = jnp.zeros((4, 5)).at[:, 0].set(1.0)
+    z2 = jnp.zeros((4, 5)).at[:, 1].set(1.0)
+    a1 = agent._llc_action(obs, z1)
+    a2 = agent._llc_action(obs, z2)
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
+    # scale invariance: z and 10z give the same action (normalization)
+    a3 = agent._llc_action(obs, 10.0 * z1)
+    assert np.allclose(np.asarray(a1), np.asarray(a3), atol=1e-6)
