@@ -1,12 +1,13 @@
-"""Multi-experiment launcher (local backend).
+"""Multi-experiment launcher (local + Slurm backends).
 
 Mirrors the reference's pbt/launcher (reference pbt/launcher/run.py:50,
 run_description.py ParamGrid:35 / Experiment:87 / RunDescription:141,
-run_processes.py:34): a parameter grid expands into per-policy command
-lines which run as parallel local processes with a concurrency cap. Slurm
-/NGC backends are out of scope for the TPU stack (single-controller JAX
-jobs schedule differently); the grid + experiment description API is kept
-so population experiment definitions port directly.
+run_processes.py:34 local backend, run_slurm.py:65 Slurm backend): a
+parameter grid expands into per-policy command lines which run as
+parallel local processes with a concurrency cap, or as one sbatch job
+per policy on a Slurm cluster (each job = one TPU host; the decentralized
+PBT filesystem protocol needs only a shared train_dir). The NGC backend
+is out of scope (NVIDIA-cloud specific).
 """
 from __future__ import annotations
 
@@ -89,3 +90,61 @@ def run_local(
         running = still
         time.sleep(2.0)
     return failures
+
+
+SBATCH_TEMPLATE = """#!/bin/bash
+#SBATCH --job-name={name}
+#SBATCH --output={logdir}/{name}.log
+#SBATCH --nodes=1
+#SBATCH --ntasks=1
+#SBATCH --cpus-per-task={cpus}
+{extra_directives}
+{setup}
+srun {python} {cmd}
+"""
+
+
+def run_slurm(
+    run: RunDescription,
+    train_dir: str = "runs",
+    python: str = sys.executable,
+    cpus_per_task: int = 16,
+    partition: str = "",
+    time_limit: str = "",
+    setup: str = "",
+    sbatch: str = "sbatch",
+    submit: bool = True,
+) -> List[str]:
+    """Slurm backend (reference pbt/launcher/run_slurm.py:65): one sbatch
+    job per experiment command. Returns the generated script paths;
+    `submit=False` only writes them (useful where sbatch is unavailable --
+    this repo's CI has no Slurm, so submission is exercised in production
+    only). PBT policies coordinate through the shared `train_dir`
+    filesystem exactly as with the local backend."""
+    logdir = os.path.join(train_dir, run.run_name)
+    os.makedirs(logdir, exist_ok=True)
+    extra = []
+    if partition:
+        extra.append(f"#SBATCH --partition={partition}")
+    if time_limit:
+        extra.append(f"#SBATCH --time={time_limit}")
+    scripts = []
+    for exp in run.experiments:
+        for name, cmd in exp.generate_experiments():
+            script = SBATCH_TEMPLATE.format(
+                name=name,
+                logdir=logdir,
+                cpus=cpus_per_task,
+                extra_directives="\n".join(extra),
+                setup=setup,
+                python=python,
+                cmd=cmd,
+            )
+            path = os.path.join(logdir, f"{name}.sbatch")
+            with open(path, "w") as f:
+                f.write(script)
+            scripts.append(path)
+            if submit:
+                subprocess.check_call([sbatch, path])
+                print(f"[launcher] submitted {name} via {sbatch}")
+    return scripts

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Learning-curve parity harness (BASELINE.md reward milestones).
+
+Trains the BASELINE.md tasks under the reference's budgets (max_epochs x
+horizon x numEnvs from cfg/train/*PPO.yaml) and records, per task:
+
+  * the learning curve (frames, mean finished-episode return) per epoch;
+  * frames-to-milestone (first epoch whose rolling mean return crosses
+    the milestone below);
+  * final mean return + wall-clock + fps.
+
+Milestones are practical trained-policy returns for the reference's
+budgets (the cfg `score_to_win: 20000` is a nominal never-hit early-stop;
+rl_games curves for these tasks plateau around the values below):
+Cartpole ~490 (episode cap 500), BallBalance ~350, Ant ~5000 (33M steps),
+Humanoid ~5000 (131M steps).
+
+Writes PARITY.json + regenerates PARITY.md. Select tasks with
+PARITY_TASKS=Cartpole,Ant (default: all four); cap epochs with
+PARITY_MAX_EPOCHS for smoke runs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# task -> (reward milestone, env-step budget from the reference cfgs,
+#          epoch cap = 3x the reference max_epochs: the rolling
+#          last-100-finished-episodes metric lags the policy by up to an
+#          episode length, so the run gets headroom while the
+#          within-budget check still uses the reference frame budget)
+MILESTONES = {
+    "Cartpole": (490.0, 100 * 16 * 512, 300),
+    "BallBalance": (350.0, 250 * 16 * 4096, 750),
+    "Ant": (5000.0, 500 * 16 * 4096, 1500),
+    "Humanoid": (5000.0, 1000 * 32 * 4096, 3000),
+}
+
+
+def _deterministic_eval(agent, env, ts, max_steps):
+    """Mean finished-episode return of the deterministic policy over one
+    episode-length rollout of all envs (the reference's test=True
+    evaluation protocol) -- immune to the rolling-metric lag."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    state, obs = env.reset(jax.random.PRNGKey(12345))
+    step = jax.jit(env.step)
+    act = jax.jit(agent.act)
+    ret = np.zeros(env.num_envs)
+    done_rets = []
+    for _ in range(max_steps):
+        state, obs, rew, done, ex = step(state, act(ts, obs))
+        ret += np.asarray(rew)
+        d = np.asarray(done)
+        if d.any():
+            done_rets += ret[d].tolist()
+            ret[d] = 0.0
+    import numpy as _np
+
+    return float(_np.mean(done_rets)) if done_rets else float("nan")
+
+
+def run_task(name: str, max_epochs_cap=None):
+    import jax
+
+    from isaacgymenvs_tpu.learn import PPO
+    from isaacgymenvs_tpu.tasks import task_map
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config([f"task={name}", "headless=True"])
+    env = task_map[name](cfg["task"])
+    train_params = cfg["train"]["params"]
+    agent = PPO(env, train_params, seed=int(cfg.get("seed", 42)))
+    milestone, budget, epoch_cap = MILESTONES[name]
+    if max_epochs_cap is None:
+        max_epochs_cap = epoch_cap
+    curve = []
+    evals = []
+    hit = {"frames": None, "epoch": None}
+    # deterministic eval cadence: 8 checks across the epoch cap, but not
+    # before the rolling metric shows life (evals cost one episode)
+    eval_every = max(1, max_epochs_cap // 12)
+    eval_steps = min(env.max_episode_length + 1, 1001)
+
+    def on_epoch(ts, metrics):
+        curve.append(
+            [int(metrics["frames"]), float(metrics["mean_episode_return"])]
+        )
+        ret = metrics["mean_episode_return"]
+        epoch = int(metrics["epoch"])
+        near = ret == ret and ret >= 0.5 * milestone
+        if hit["frames"] is None and near and epoch % eval_every == 0:
+            ev = _deterministic_eval(agent, env, ts, eval_steps)
+            evals.append([int(metrics["frames"]), ev])
+            print(f"  eval @ epoch {epoch}: {ev:.1f}", flush=True)
+            if ev == ev and ev >= milestone:
+                hit["frames"] = int(metrics["frames"])
+                hit["epoch"] = epoch
+                return True  # milestone reached: stop early
+        return False
+
+    t0 = time.time()
+    ts, last = agent.train(
+        max_epochs=max_epochs_cap, on_epoch=on_epoch, log_every=25
+    )
+    wall = time.time() - t0
+    if hit["frames"] is None:  # final deterministic check
+        ev = _deterministic_eval(agent, env, ts, eval_steps)
+        evals.append([int(last.get("frames", 0)), ev])
+        if ev == ev and ev >= milestone:
+            hit["frames"] = int(last.get("frames", 0))
+            hit["epoch"] = int(last.get("epoch", 0))
+    return {
+        "milestone": milestone,
+        "reference_budget_env_steps": budget,
+        "frames_to_milestone": hit["frames"],
+        "epochs_to_milestone": hit["epoch"],
+        "within_reference_budget": (
+            hit["frames"] is not None and hit["frames"] <= budget
+        ),
+        "deterministic_evals": evals,
+        "final_mean_return": float(last.get("mean_episode_return", 0.0)),
+        "final_frames": int(last.get("frames", 0)),
+        "wall_clock_s": round(wall, 1),
+        "fps": round(float(last.get("fps", 0.0))),
+        "curve": curve[:: max(1, len(curve) // 200)],
+    }
+
+
+def main():
+    if os.environ.get("PARITY_FORCE_CPU"):
+        # the axon sitecustomize registers the TPU platform at interpreter
+        # start and ignores JAX_PLATFORMS; this is the working override
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    sel = os.environ.get("PARITY_TASKS", ",".join(MILESTONES))
+    cap = os.environ.get("PARITY_MAX_EPOCHS")
+    cap = int(cap) if cap else None
+    results = {}
+    path = "PARITY.json"
+    if os.path.exists(path):
+        results = json.load(open(path))
+    for name in sel.split(","):
+        name = name.strip()
+        if not name:
+            continue
+        print(f"=== parity: {name} ===", flush=True)
+        try:
+            results[name] = run_task(name, cap)
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+        json.dump(results, open(path, "w"), indent=1)
+
+    # regenerate the human-readable table
+    lines = [
+        "# PARITY — learning-curve milestones vs the reference budgets",
+        "",
+        "Produced by `python parity.py` (see its docstring for milestone",
+        "rationale). `within_reference_budget` = reached the milestone in",
+        "no more env steps than the reference's max_epochs x horizon x",
+        "numEnvs budget for the same task.",
+        "",
+        "| task | milestone | frames to milestone | reference budget | within budget | final return | fps |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        if "error" in r:
+            lines.append(f"| {name} | — | error: {r['error']} | | | | |")
+            continue
+        lines.append(
+            f"| {name} | {r['milestone']} | {r['frames_to_milestone']} | "
+            f"{r['reference_budget_env_steps']} | {r['within_reference_budget']} | "
+            f"{r['final_mean_return']:.1f} | {r['fps']} |"
+        )
+    open("PARITY.md", "w").write("\n".join(lines) + "\n")
+    print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "curve"}
+                      for k, v in results.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,25 @@ def test_worst_policy_always_mutates_even_below_threshold(tmp_path):
     new_params, adopted = result
     assert adopted is None  # keeps its own weights
     assert new_params["lr"] != 3e-4
+
+
+def test_slurm_backend_generates_scripts(tmp_path):
+    """Slurm backend (reference run_slurm.py:65): one sbatch script per
+    experiment command with the right directives; submit=False only
+    writes them (no Slurm in CI)."""
+    from isaacgymenvs_tpu.pbt.launcher import run_slurm
+
+    grid = ParamGrid([("seed", [1, 2])])
+    run = RunDescription(
+        "slurm_test",
+        [Experiment("ant", "train.py task=Ant", grid.generate_params())],
+    )
+    scripts = run_slurm(
+        run, train_dir=str(tmp_path), partition="tpu", time_limit="4:00:00",
+        submit=False,
+    )
+    assert len(scripts) == 2
+    body = open(scripts[0]).read()
+    assert "#SBATCH --partition=tpu" in body
+    assert "train.py task=Ant seed=1" in body
+    assert "#SBATCH --job-name=ant_00" in body
