@@ -132,6 +132,27 @@ class AllegroHandDextremeADR(AllegroHand):
             self._corrupt_action(action, q, task), q, qd, task
         )
 
+    # per-component layout of the flat policy obs: the reference's dict
+    # observation keys in order (get_num_obs_dict
+    # allegro_hand_dextreme.py:168; the flat vector is their fixed-order
+    # concatenation -- consumers can re-dict it via obs_spec())
+    OBS_SPEC = {
+        "dof_pos_randomized": 16,
+        "object_pose_cam_randomized": 7,
+        "goal_pose": 4,
+        "goal_relative_rot_cam_randomized": 4,
+        "last_actions": 16,
+    }
+
+    def obs_spec(self):
+        """{key: (offset, size)} view of the flat policy obs, matching
+        the reference's dict-observation keys."""
+        out, off = {}, 0
+        for k, n in self.OBS_SPEC.items():
+            out[k] = (off, n)
+            off += n
+        return out
+
     # -- observations ----------------------------------------------------
     def observe(self, q, qd, kin, sensors, task, actions, progress):
         """The corrupted policy view (the reference's `_randomized` keys,

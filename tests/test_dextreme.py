@@ -125,3 +125,21 @@ def test_camera_sim_latches_cube_pose():
     # ages advance while the latch holds; latched pose != live pose
     assert (ages >= 1).all()
     assert not np.allclose(live, latched, atol=1e-5)
+
+
+def test_obs_spec_matches_flat_layout():
+    """The flat policy obs is the fixed-order concatenation of the
+    reference's dict-observation keys (get_num_obs_dict :168)."""
+    from isaacgymenvs_tpu.tasks.allegro_hand_dextreme import (
+        AllegroHandDextremeADR,
+    )
+
+    spec = AllegroHandDextremeADR.OBS_SPEC
+    assert sum(spec.values()) == 47
+    assert list(spec) == [
+        "dof_pos_randomized",
+        "object_pose_cam_randomized",
+        "goal_pose",
+        "goal_relative_rot_cam_randomized",
+        "last_actions",
+    ]
