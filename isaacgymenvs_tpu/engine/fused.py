@@ -61,19 +61,25 @@ class FusedOut(NamedTuple):
 
 def fused_supported(model: Model, params: SimParams, terrain) -> bool:
     """True when the fused kernel covers this model's feature set."""
+    npp = len(model.ppair_point)
+    n_plane = model.ncp if model.plane_contacts else 0
+    pp_types_ok = all(
+        model.geom_type[g] in (0, 2)  # SPHERE, BOX
+        for g in model.ppair_geom
+    )
+    cap = params.max_active_contacts
     return (
         terrain is None
         and params.solver == "apgd"
         and not model.pair_geom_a
-        and not model.ppair_point
         and not model.spair_point
         and not model.att_body
-        and (model.ncp == 0 or model.plane_contacts)
-        # Coulomb joint friction / restitution not yet in the fused math
-        and (
-            model.dof_friction is None
-            or not np.any(np.asarray(model.dof_friction))
-        )
+        and pp_types_ok
+        # the fused solver has no top-K active-set: every candidate row
+        # enters the Delassus system, so a cap below the candidate count
+        # would diverge from the vmap engine
+        and (cap == 0 or cap >= n_plane + npp)
+        # restitution not yet in the fused math (dof friction IS)
         and (
             model.cpoint_restitution is None
             or not np.any(np.asarray(model.cpoint_restitution))
@@ -154,6 +160,7 @@ class _Spec(NamedTuple):
     jnt_pos: np.ndarray
     armature: np.ndarray
     dof_damping: np.ndarray
+    dof_friction: np.ndarray
     dof_stiffness: np.ndarray
     dof_limit_lower: np.ndarray
     dof_limit_upper: np.ndarray
@@ -163,13 +170,28 @@ class _Spec(NamedTuple):
     dof_mask: np.ndarray  # (nv, nv) lower ancestor mask
     anc: np.ndarray  # (nbody, nbody) ancestor-or-self
     int_mat: np.ndarray  # (nq, nv)
-    # contacts
+    # plane contacts
     cp_body: np.ndarray
     cp_pos: np.ndarray
     cp_radius: np.ndarray
     cp_mu: np.ndarray
     path_mask: np.ndarray  # (nc, nv) contact-path dof mask
     body_of_contact: np.ndarray  # (nbody, nc) 0/1 accumulation matrix
+    # point-vs-geom pair contacts (hand-object style, ppair_*): static
+    # per-row data; BOX/SPHERE geoms only (fused_supported gates)
+    pp_nc: int
+    pp_pos: np.ndarray  # (npp, 3) point in body-A frame
+    pp_radius: np.ndarray  # (npp,)
+    pp_mu: np.ndarray  # (npp,)
+    pp_gtype: np.ndarray  # (npp,) geom type per row
+    pp_gpos: np.ndarray  # (npp, 3) geom offset in body-B frame
+    pp_gquat: np.ndarray  # (npp, 4)
+    pp_gsize: np.ndarray  # (npp, 3)
+    pp_pick_a: np.ndarray  # (npp, nbody) one-hot point body
+    pp_pick_b: np.ndarray  # (npp, nbody) one-hot geom body
+    pp_path: np.ndarray  # (nv, npp) SIGNED dof path mask (A - B)
+    pp_boc_a: np.ndarray  # (nbody, npp) +force accumulation
+    pp_boc_b: np.ndarray  # (nbody, npp)
     # tendons
     tendon_coef: np.ndarray | None
     tendon_range: np.ndarray | None
@@ -202,6 +224,47 @@ def _extract(model: Model) -> _Spec:
         cp_pos = np.zeros((0, 3), np.float32)
         cp_radius = np.zeros(0, np.float32)
         cp_mu = np.zeros(0, np.float32)
+    npp = len(model.ppair_point)
+    if npp:
+        pts = np.asarray(model.ppair_point)
+        geoms = np.asarray(model.ppair_geom)
+        pa = np.asarray(model.cpoint_body)[pts]
+        pb = np.asarray(model.geom_body)[geoms]
+        pp_pos = g(model.cpoint_pos)[pts]
+        pp_radius = g(model.cpoint_radius)[pts]
+        pp_mu = 0.5 * (
+            g(model.cpoint_friction)[pts] + g(model.geom_friction)[geoms]
+        )
+        pp_gtype = np.asarray(model.geom_type)[geoms]
+        pp_gpos = g(model.geom_pos)[geoms]
+        pp_gquat = g(model.geom_quat)[geoms]
+        pp_gsize = g(model.geom_size)[geoms]
+        pick_a = np.zeros((npp, model.nbody), np.float32)
+        pick_a[np.arange(npp), pa] = 1.0
+        pick_b = np.zeros((npp, model.nbody), np.float32)
+        pick_b[np.arange(npp), pb] = 1.0
+        dof_body_arr = np.asarray(model.dof_body)
+        pp_path = (
+            anc[pa][:, dof_body_arr].astype(np.float32)
+            - anc[pb][:, dof_body_arr].astype(np.float32)
+        ).T  # (nv, npp) signed
+        boc_a = np.zeros((model.nbody, npp), np.float32)
+        boc_a[pa, np.arange(npp)] = 1.0
+        boc_b = np.zeros((model.nbody, npp), np.float32)
+        boc_b[pb, np.arange(npp)] = 1.0
+    else:
+        pp_pos = np.zeros((0, 3), np.float32)
+        pp_radius = np.zeros(0, np.float32)
+        pp_mu = np.zeros(0, np.float32)
+        pp_gtype = np.zeros(0, np.int64)
+        pp_gpos = np.zeros((0, 3), np.float32)
+        pp_gquat = np.zeros((0, 4), np.float32)
+        pp_gsize = np.zeros((0, 3), np.float32)
+        pick_a = np.zeros((0, model.nbody), np.float32)
+        pick_b = np.zeros((0, model.nbody), np.float32)
+        pp_path = np.zeros((model.nv, 0), np.float32)
+        boc_a = np.zeros((model.nbody, 0), np.float32)
+        boc_b = np.zeros((model.nbody, 0), np.float32)
     has_t = model.tendon_coef is not None and model.tendon_coef.shape[0]
     return _Spec(
         nbody=model.nbody,
@@ -222,6 +285,11 @@ def _extract(model: Model) -> _Spec:
         jnt_pos=g(model.jnt_pos),
         armature=g(model.armature),
         dof_damping=g(model.dof_damping),
+        dof_friction=(
+            g(model.dof_friction)
+            if model.dof_friction is not None
+            else np.zeros(model.nv, np.float32)
+        ),
         dof_stiffness=g(model.dof_stiffness),
         dof_limit_lower=g(model.dof_limit_lower),
         dof_limit_upper=g(model.dof_limit_upper),
@@ -237,6 +305,19 @@ def _extract(model: Model) -> _Spec:
         cp_mu=cp_mu,
         path_mask=path_mask,
         body_of_contact=boc,
+        pp_nc=npp,
+        pp_pos=pp_pos,
+        pp_radius=pp_radius,
+        pp_mu=pp_mu,
+        pp_gtype=pp_gtype,
+        pp_gpos=pp_gpos,
+        pp_gquat=pp_gquat,
+        pp_gsize=pp_gsize,
+        pp_pick_a=pick_a,
+        pp_pick_b=pick_b,
+        pp_path=pp_path,
+        pp_boc_a=boc_a,
+        pp_boc_b=boc_b,
         tendon_coef=g(model.tendon_coef) if has_t else None,
         tendon_range=g(model.tendon_range) if has_t else None,
         tendon_stiffness=g(model.tendon_stiffness) if has_t else None,
@@ -408,7 +489,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
     dof_of_body = [
         [d for d in range(s.nv) if s.dof_body[d] == b] for b in range(s.nbody)
     ]
-    n3 = s.nc * 3
+    n3 = (s.nc + s.pp_nc) * 3
     erp, erp_att = p.baumgarte_erp, p.baumgarte_erp_attractor
     # q index per dof for scalar gathers (free dofs -> 0, masked)
     sel_q = np.zeros((s.nv, s.nq), np.float32)
@@ -510,6 +591,11 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         violating = ((over > 0) | (under > 0)).astype(jnp.float32)
         tau_p = tau_p + limited * (-p.limit_stiffness * (over - under))
         D = kdamp + limited * violating * p.limit_damping
+        if np.any(s.dof_friction):
+            # regularized Coulomb joint friction folded into the implicit
+            # damping diagonal (dynamics.drive_forces semantics)
+            kfric = jnp.asarray(s.dof_friction[:, None])
+            D = D + kfric / (jnp.abs(qd) + 2e-3)
         K = kstiff + limited * violating * p.limit_stiffness
         if s.tendon_coef is not None:
             t_val = _dotc(s.tendon_coef, q_scalar)
@@ -549,37 +635,164 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         qdd = jnp.sum(Minv * rhs[None, :, :], axis=1)
         qd_free = qd + h * qdd
 
-        if s.nc == 0:
+        nct = s.nc + s.pp_nc
+        if nct == 0:
             qd_new = jnp.clip(qd_free, -p.max_dof_velocity, p.max_dof_velocity)
             q_new = _integrate(s, q, qd_new, h)
             zs = jnp.zeros((s.nbody * 3, T))
             return q_new, qd_new, warm, zs, zs, jnp.zeros((s.nv, T))
 
-        # ---- contacts: candidate points vs ground plane ----
-        cp_pos = [jnp.asarray(s.cp_pos[:, k:k + 1]) for k in range(3)]
-        # body->contact gathers as one-hot matmuls (Mosaic: no gather)
-        cp_pick = np.zeros((s.nc, s.nbody), np.float32)
-        cp_pick[np.arange(s.nc), s.cp_body] = 1.0
-        bQ = [_dotc(cp_pick, Qb[k]) for k in range(4)]
-        bX = [_dotc(cp_pick, Xb[k]) for k in range(3)]
-        rot = _qrot(bQ, cp_pos)
-        xc = [bX[k] + rot[k] for k in range(3)]  # (nc, T)
-        phi = jnp.asarray(s.cp_radius[:, None]) - xc[2]
-        active = (phi > -p.contact_margin).astype(jnp.float32)
-
-        # J comps (nv, nc, T): point jacobian rows (world frame)
         S_ang = [S[k] for k in range(3)]
         S_lin = [S[3 + k] for k in range(3)]
-        Pm = _bc3(s.path_mask.T, T)  # (nv, nc, T)
-        Jc = []
-        for k in range(3):
-            a, b = (k + 1) % 3, (k + 2) % 3
-            crossk = (
-                S_ang[a][:, None, :] * xc[b][None, :, :]
-                - S_ang[b][:, None, :] * xc[a][None, :, :]
+
+        def point_jac_world(xw, Pm):
+            """World-comp point-jacobian rows: 3 comps of (nv, k, T),
+            masked (signed) by Pm."""
+            out = []
+            for k in range(3):
+                a, b = (k + 1) % 3, (k + 2) % 3
+                crossk = (
+                    S_ang[a][:, None, :] * xw[b][None, :, :]
+                    - S_ang[b][:, None, :] * xw[a][None, :, :]
+                )
+                out.append((S_lin[k][:, None, :] + crossk) * Pm)
+            return out
+
+        # ---- plane rows: candidate points vs ground (frame = world) ----
+        if s.nc:
+            cp_pos = [jnp.asarray(s.cp_pos[:, k:k + 1]) for k in range(3)]
+            # body->contact gathers as one-hot matmuls (Mosaic: no gather)
+            cp_pick = np.zeros((s.nc, s.nbody), np.float32)
+            cp_pick[np.arange(s.nc), s.cp_body] = 1.0
+            bQ = [_dotc(cp_pick, Qb[k]) for k in range(4)]
+            bX = [_dotc(cp_pick, Xb[k]) for k in range(3)]
+            rot = _qrot(bQ, cp_pos)
+            xc = [bX[k] + rot[k] for k in range(3)]  # (nc, T)
+            phi_p = jnp.asarray(s.cp_radius[:, None]) - xc[2]
+            Pm = _bc3(s.path_mask.T, T)  # (nv, nc, T)
+            Jp_w = point_jac_world(xc, Pm)
+            # plane frame = world axes: rotated rows ARE the world comps
+            Jt1_blocks, Jt2_blocks, Jn_blocks = [Jp_w[0]], [Jp_w[1]], [Jp_w[2]]
+            phi_blocks = [phi_p]
+        else:
+            Jt1_blocks, Jt2_blocks, Jn_blocks, phi_blocks = [], [], [], []
+
+        # ---- pair rows: candidate points vs analytic geoms on another
+        # body (the hand-object narrowphase of contacts.py source 2b),
+        # all in component form; geom types are static per row ----
+        if s.pp_nc:
+            npp = s.pp_nc
+            ppt = [jnp.asarray(s.pp_pos[:, k:k + 1]) for k in range(3)]
+            aQ = [_dotc(s.pp_pick_a, Qb[k]) for k in range(4)]
+            aX = [_dotc(s.pp_pick_a, Xb[k]) for k in range(3)]
+            rot = _qrot(aQ, ppt)
+            xw = [aX[k] + rot[k] for k in range(3)]  # point world (npp, T)
+            # geom world pose
+            bQg = [_dotc(s.pp_pick_b, Qb[k]) for k in range(4)]
+            bXg = [_dotc(s.pp_pick_b, Xb[k]) for k in range(3)]
+            gpos = [jnp.asarray(s.pp_gpos[:, k:k + 1]) for k in range(3)]
+            gquat = [jnp.asarray(s.pp_gquat[:, k:k + 1]) for k in range(4)]
+            Xg = [bXg[k] + o for k, o in enumerate(_qrot(bQg, gpos))]
+            Qg = _qmul(bQg, gquat)
+            Qg_c = [-Qg[0], -Qg[1], -Qg[2], Qg[3]]  # conjugate
+            dvec = _qrot(Qg_c, [xw[k] - Xg[k] for k in range(3)])
+            radius = jnp.asarray(s.pp_radius[:, None])
+            half = [jnp.asarray(s.pp_gsize[:, k:k + 1]) for k in range(3)]
+            is_box = jnp.asarray(
+                (s.pp_gtype[:, None] == 2).astype(np.float32)
             )
-            Jc.append((S_lin[k][:, None, :] + crossk) * Pm)
-        J = jnp.concatenate(Jc, axis=1)  # (nv, 3nc, T), comp-major rows
+            # BOX: clamp-to-volume with inside handling (contacts.py
+            # _sphere_vs_geom BOX branch, where-chains instead of argmin)
+            c = [jnp.clip(dvec[k], -half[k], half[k]) for k in range(3)]
+            rel = [dvec[k] - c[k] for k in range(3)]
+            dist_box = jnp.sqrt(
+                rel[0] ** 2 + rel[1] ** 2 + rel[2] ** 2 + 1e-18
+            )
+            gaps = [half[k] - jnp.abs(dvec[k]) for k in range(3)]
+            inside = (
+                (gaps[0] > 0).astype(jnp.float32)
+                * (gaps[1] > 0).astype(jnp.float32)
+                * (gaps[2] > 0).astype(jnp.float32)
+            )
+            g_min = jnp.minimum(gaps[0], jnp.minimum(gaps[1], gaps[2]))
+            k0 = ((gaps[0] <= gaps[1]) & (gaps[0] <= gaps[2])).astype(
+                jnp.float32
+            )
+            k1 = ((gaps[1] < gaps[0]) & (gaps[1] <= gaps[2])).astype(
+                jnp.float32
+            ) * (1.0 - k0)
+            k2 = 1.0 - k0 - k1
+            ks = [k0, k1, k2]
+            sgn = [
+                jnp.where(dvec[k] >= 0.0, 1.0, -1.0) for k in range(3)
+            ]
+            n_in = [ks[k] * sgn[k] for k in range(3)]
+            c_in = [
+                ks[k] * sgn[k] * half[k] + (1.0 - ks[k]) * dvec[k]
+                for k in range(3)
+            ]
+            inv_dist = 1.0 / jnp.maximum(dist_box, 1e-9)
+            n_out = [rel[k] * inv_dist for k in range(3)]
+            phi_box = jnp.where(
+                inside > 0, radius + g_min, radius - dist_box
+            )
+            nl_box = [
+                jnp.where(inside > 0, n_in[k], n_out[k]) for k in range(3)
+            ]
+            surf_box = [
+                jnp.where(inside > 0, c_in[k], c[k]) for k in range(3)
+            ]
+            # SPHERE: radial closest point
+            dist_sph = jnp.sqrt(
+                dvec[0] ** 2 + dvec[1] ** 2 + dvec[2] ** 2 + 1e-18
+            )
+            inv_sph = 1.0 / jnp.maximum(dist_sph, 1e-9)
+            nl_sph = [dvec[k] * inv_sph for k in range(3)]
+            phi_sph = half[0] + radius - dist_sph
+            surf_sph = [nl_sph[k] * half[0] for k in range(3)]
+            phi_pp = is_box * phi_box + (1.0 - is_box) * phi_sph
+            n_l = [
+                is_box * nl_box[k] + (1.0 - is_box) * nl_sph[k]
+                for k in range(3)
+            ]
+            surf = [
+                is_box * surf_box[k] + (1.0 - is_box) * surf_sph[k]
+                for k in range(3)
+            ]
+            n_w = _qrot(Qg, n_l)  # world normal, geom -> point
+            xs_w = [Xg[k] + o for k, o in enumerate(_qrot(Qg, surf))]
+            # branchless tangent basis (contacts._tangent_basis)
+            use_z = (jnp.abs(n_w[2]) < 0.9).astype(jnp.float32)
+            ref = [1.0 - use_z, jnp.zeros_like(use_z), use_z]
+            t1r = _cross(ref, n_w)
+            t1n = 1.0 / jnp.maximum(
+                jnp.sqrt(t1r[0] ** 2 + t1r[1] ** 2 + t1r[2] ** 2), 1e-9
+            )
+            t1 = [t1r[k] * t1n for k in range(3)]
+            t2 = _cross(n_w, t1)
+            Pm_pp = _bc3(s.pp_path, T)  # (nv, npp, T) SIGNED (A - B)
+            Jpp_w = point_jac_world(xs_w, Pm_pp)
+            Jt1_blocks.append(
+                sum(t1[k][None, :, :] * Jpp_w[k] for k in range(3))
+            )
+            Jt2_blocks.append(
+                sum(t2[k][None, :, :] * Jpp_w[k] for k in range(3))
+            )
+            Jn_blocks.append(
+                sum(n_w[k][None, :, :] * Jpp_w[k] for k in range(3))
+            )
+            phi_blocks.append(phi_pp)
+
+        phi = jnp.concatenate(phi_blocks, 0)  # (nct, T)
+        active = (phi > -p.contact_margin).astype(jnp.float32)
+        J = jnp.concatenate(
+            [
+                jnp.concatenate(Jt1_blocks, axis=1),
+                jnp.concatenate(Jt2_blocks, axis=1),
+                jnp.concatenate(Jn_blocks, axis=1),
+            ],
+            axis=1,
+        )  # (nv, 3*nct, T), comp-major rows
 
         # Delassus A = J^T Minv J  (formed once, VMEM-resident)
         W = sum(
@@ -589,7 +802,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         # (the 1e-6 diagonal regularization is folded into the APGD
         # matvec below -- materializing eye(3nc) lane-tiled wastes VMEM)
 
-        b_vec = jnp.sum(J * qd_free[:, None, :], axis=0)  # (3nc, T)
+        b_vec = jnp.sum(J * qd_free[:, None, :], axis=0)  # (3nct, T)
         # separated rows allow approach at gap/h (see contacts.py note)
         vn_t = jnp.where(
             phi > 0,
@@ -597,19 +810,19 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             phi / h,
         )
         b_vec = jnp.concatenate(
-            [b_vec[: 2 * s.nc], b_vec[2 * s.nc:] - vn_t], 0
+            [b_vec[: 2 * nct], b_vec[2 * nct:] - vn_t], 0
         )
 
         # Per-contact Jacobi preconditioning, mirroring contacts.py
         # _solve_apgd exactly (the equivalence tests compare trajectories
         # at fixed iteration count): scale each contact's 3 rows by
         # 1/sqrt(mean block diagonal of the regularized Delassus).
-        diagA = jnp.sum(J * W, axis=0)  # (3nc, T) diag of J^T Minv J
+        diagA = jnp.sum(J * W, axis=0)  # (3nct, T) diag of J^T Minv J
         d_c = (
-            diagA[: s.nc] + diagA[s.nc:2 * s.nc] + diagA[2 * s.nc:]
+            diagA[: nct] + diagA[nct:2 * nct] + diagA[2 * nct:]
         ) / 3.0 + 1e-6
-        s_c = jax.lax.rsqrt(jnp.maximum(d_c, 1e-12))  # (nc, T)
-        s3 = jnp.concatenate([s_c, s_c, s_c], 0)  # (3nc, T)
+        s_c = jax.lax.rsqrt(jnp.maximum(d_c, 1e-12))  # (nct, T)
+        s3 = jnp.concatenate([s_c, s_c, s_c], 0)  # (3nct, T)
         s3sq = s3 * s3
         A = A * s3[:, None, :] * s3[None, :, :]
         b_vec = b_vec * s3
@@ -620,14 +833,16 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             jnp.sum(jnp.abs(A), axis=1) + 1e-6 * s3sq, axis=0, keepdims=True
         )
         step = 1.0 / jnp.maximum(Lip, 1e-8)
-        mu = jnp.asarray(s.cp_mu[:, None])
+        mu = jnp.asarray(
+            np.concatenate([s.cp_mu, s.pp_mu]).astype(np.float32)[:, None]
+        )
 
         def project(y):
-            ln = jnp.maximum(y[2 * s.nc:], 0.0)
-            t1, t2 = y[: s.nc], y[s.nc:2 * s.nc]
-            tn = jnp.sqrt(t1 * t1 + t2 * t2 + 1e-12)
+            ln = jnp.maximum(y[2 * nct:], 0.0)
+            t1_, t2_ = y[: nct], y[nct:2 * nct]
+            tn = jnp.sqrt(t1_ * t1_ + t2_ * t2_ + 1e-12)
             sc = jnp.minimum(1.0, mu * ln / tn) * active
-            return jnp.concatenate([t1 * sc, t2 * sc, ln * active], 0)
+            return jnp.concatenate([t1_ * sc, t2_ * sc, ln * active], 0)
 
         lam = project(warm / s3)  # into scaled variables
         y = lam
@@ -647,12 +862,38 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
 
         # sensors: per-body contact force/torque (world), dof force
         inv_h = 1.0 / h
-        Fc = [lam[k * s.nc:(k + 1) * s.nc] * inv_h for k in range(3)]
-        boc = s.body_of_contact
-        bf = [_dotc(boc, Fc[k]) for k in range(3)]
-        rel = [xc[k] - bX[k] for k in range(3)]
-        tq_c = _cross(rel, Fc)
-        bt = [_dotc(boc, tq_c[k]) for k in range(3)]
+        lam_t1 = lam[:nct] * inv_h
+        lam_t2 = lam[nct:2 * nct] * inv_h
+        lam_n = lam[2 * nct:] * inv_h
+        bf = [jnp.zeros((s.nbody, T))] * 3
+        bt = [jnp.zeros((s.nbody, T))] * 3
+        if s.nc:
+            # plane rows: frame = world axes -> force comps are the lams
+            Fp = [lam_t1[: s.nc], lam_t2[: s.nc], lam_n[: s.nc]]
+            boc = s.body_of_contact
+            rel = [xc[k] - bX[k] for k in range(3)]
+            tq_p = _cross(rel, Fp)
+            bf = [bf[k] + _dotc(boc, Fp[k]) for k in range(3)]
+            bt = [bt[k] + _dotc(boc, tq_p[k]) for k in range(3)]
+        if s.pp_nc:
+            lt1 = lam_t1[s.nc:]
+            lt2 = lam_t2[s.nc:]
+            ln_ = lam_n[s.nc:]
+            Fw = [
+                t1[k] * lt1 + t2[k] * lt2 + n_w[k] * ln_ for k in range(3)
+            ]
+            rel_a = [xs_w[k] - aX[k] for k in range(3)]
+            rel_b = [xs_w[k] - bXg[k] for k in range(3)]
+            tq_a = _cross(rel_a, Fw)
+            tq_b = _cross(rel_b, Fw)
+            bf = [
+                bf[k] + _dotc(s.pp_boc_a, Fw[k]) - _dotc(s.pp_boc_b, Fw[k])
+                for k in range(3)
+            ]
+            bt = [
+                bt[k] + _dotc(s.pp_boc_a, tq_a[k]) - _dotc(s.pp_boc_b, tq_b[k])
+                for k in range(3)
+            ]
         body_force = jnp.concatenate(bf, 0)  # (nbody*3, T) comp-major
         body_torque = jnp.concatenate(bt, 0)
         return q_new, qd_new, lam, body_force, body_torque, qfrc_con * inv_h
@@ -688,7 +929,7 @@ def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
 
     def run(q, qd, qfrc, xfrc, q_target):
         T = q.shape[-1]
-        warm = jnp.zeros((s.nc * 3, T))
+        warm = jnp.zeros(((s.nc + s.pp_nc) * 3, T))
         bf = bt = doff = None
         for _ in range(n_slices):
             q, qd, warm, bf, bt, doff = substep(
@@ -730,8 +971,19 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
     run = _step_math(s, params, has_xfrc, has_qt)
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    Np = ((N + TILE - 1) // TILE) * TILE
-    grid = Np // TILE
+    # env-lane tile: shrink below 128 lanes when the VMEM residents (the
+    # Delassus operator + contact jacobian + Minv) would blow the budget
+    # (hand-object models carry ~80 contact rows -> A alone is
+    # (240, 240, T) f32)
+    rows3 = 3 * (s.nc + s.pp_nc)
+    tile = TILE
+    budget_elems = (10 * 2**20) // 4
+    while tile > 8 and (
+        rows3 * rows3 + 3 * s.nv * rows3 + 3 * s.nv * s.nv
+    ) * tile > budget_elems:
+        tile //= 2
+    Np = ((N + tile - 1) // tile) * tile
+    grid = Np // tile
     nb3 = s.nbody * 3
 
     in_rows = [s.nq, s.nv, s.nv]
@@ -764,7 +1016,7 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
     from jax import core as _core
 
     example = [
-        jax.ShapeDtypeStruct((r, TILE), jnp.float32) for r in in_rows
+        jax.ShapeDtypeStruct((r, tile), jnp.float32) for r in in_rows
     ]
     closed_jaxpr = jax.make_jaxpr(run_flat)(*example)
     consts = closed_jaxpr.consts
@@ -816,7 +1068,7 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
         out_rows = [s.nq, s.nv, nb3, nb3, s.nv]
         if use_pallas:
             bspec = lambda rows: pl.BlockSpec(
-                (rows, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             )
             cspec = lambda shp: pl.BlockSpec(
                 shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM

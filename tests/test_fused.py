@@ -27,13 +27,16 @@ def _env(name, n=4):
     return task_map[name](cfg)
 
 
-def _compare(env, steps=3, with_xfrc=False, with_qt=False, tol=2e-4):
+def _compare(env, steps=3, with_xfrc=False, with_qt=False, tol=2e-4,
+             qfrc_scale=3.0):
     model, params = env.model, env.sim_params
     n = env.num_envs
     state, _ = env.reset(jax.random.PRNGKey(0))
     q, qd = state.sim.q, state.sim.qd
     rng = np.random.RandomState(1)
-    qfrc = jnp.asarray(rng.uniform(-1, 1, (n, model.nv)).astype(np.float32)) * 3.0
+    qfrc = jnp.asarray(
+        rng.uniform(-1, 1, (n, model.nv)).astype(np.float32)
+    ) * qfrc_scale
     xfrc = (
         jnp.asarray(rng.uniform(-1, 1, (n, model.nbody, 6)).astype(np.float32))
         if with_xfrc
@@ -128,3 +131,47 @@ def test_fused_env_step_equivalence():
         assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-3
         assert float(jnp.max(jnp.abs(r_v - r_f))) < 1e-3
         assert bool(jnp.all(d_v == d_f))
+
+
+def test_fused_matches_vmap_franka_cube_stack_ppair():
+    """Point-vs-box pair contacts (hand-object style) in the fused math:
+    FrankaCubeStack's finger/cube/cubeB rows vs the vmap engine.
+
+    Inputs are gentle (gravity + the PD spring, mild torques): under
+    violent random torques the stiff-contact system's own conditioning
+    amplifies 1e-6 input noise to ~0.25 in qd (measured on the vmap
+    engine against itself), so chaotic-regime trajectories cannot pin
+    math equivalence."""
+    _compare(_env("FrankaCubeStack"), steps=2, qfrc_scale=0.05, tol=5e-4)
+
+
+def test_fused_matches_vmap_shadow_hand_ppair():
+    """ShadowHand: 78 point-vs-box rows + tendons + Coulomb dof friction
+    through the fused math."""
+    env = task_map["ShadowHand"](
+        {
+            "env": {
+                "numEnvs": 4,
+                "clipActions": 1.0,
+                "observationType": "full_state",
+            },
+            "sim": {"dt": 1 / 60, "substeps": 2},
+        }
+    )
+    _compare(env, steps=2, tol=5e-4, qfrc_scale=0.05)
+
+
+def test_fused_supported_ppair_gating():
+    sh = task_map["ShadowHand"](
+        {
+            "env": {"numEnvs": 2, "observationType": "full_state"},
+            "sim": {"dt": 1 / 60, "substeps": 2},
+        }
+    )
+    assert fused.fused_supported(sh.model, sh.sim_params, None)
+    # a contact cap below the candidate count forces the vmap top-K path
+    capped = sh.sim_params.replace(max_active_contacts=24)
+    assert not fused.fused_supported(sh.model, capped, None)
+    # mesh-geom pairs (FrankaCabinet) stay on the vmap path
+    fc = _env("FrankaCabinet")
+    assert not fused.fused_supported(fc.model, fc.sim_params, None)
