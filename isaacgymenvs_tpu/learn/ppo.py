@@ -285,6 +285,17 @@ class PPO:
             )
             next_states = extras.get("states") if self.use_central_value else None
             captured = {k: extras[k] for k in self.capture_extras}
+            # auto-log every scalar numeric env extra (the reference's
+            # RLGPUAlgoObserver consumes arbitrary extras into TB,
+            # rlgames_utils.py:174-209): keys are static per env class,
+            # so the mean-reduction compiles into the rollout
+            captured["_env_metrics"] = {
+                k: jnp.mean(v.astype(jnp.float32))
+                for k, v in extras.items()
+                if k not in ("states", "time_outs")
+                and hasattr(v, "ndim")
+                and v.ndim == 1
+            }
             shaped = reward * cfg.reward_scale
             if cfg.value_bootstrap:
                 shaped = shaped + cfg.gamma * value * extras["time_outs"]
@@ -526,6 +537,12 @@ class PPO:
             "ep_return_sum": jnp.sum(traj.ep_ret_done),
             "ep_len_sum": jnp.sum(traj.ep_len_done),
             "n_episodes": jnp.sum(traj.n_done),
+            # rollout-mean of every scalar env extra (the reference's
+            # RLGPUAlgoObserver TB series, rlgames_utils.py:174-209)
+            **{
+                f"env/{k}": jnp.mean(v)
+                for k, v in traj.extras.get("_env_metrics", {}).items()
+            },
             "reward_mean_step": jnp.mean(traj.reward),
             **aux_metrics,
         }
@@ -707,6 +724,11 @@ class PPO:
                         "info/kl": last_metrics["kl"],
                         "performance/total_fps": last_metrics["fps"],
                         "performance/step_fps": last_metrics["fps"],
+                        **{
+                            k: v
+                            for k, v in last_metrics.items()
+                            if k.startswith("env/")
+                        },
                     },
                     frames,
                 )

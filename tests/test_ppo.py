@@ -92,3 +92,22 @@ def test_checkpoint_roundtrips_env_task_and_adr_state(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ts3r.env_state.adr["ranges"]), np.arange(4.0)
     )
+
+
+def test_env_extras_auto_logged():
+    """Scalar env extras flow into the epoch metrics as env/<key> series
+    (the reference's RLGPUAlgoObserver behavior)."""
+    from isaacgymenvs_tpu.tasks import task_map
+
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(["task=Trifinger", "num_envs=8"])["task"]
+    env = task_map["Trifinger"](cfg)  # emits successes/_pos/_quat extras
+    agent = PPO(env, {"config": {"horizon_length": 4, "minibatch_size": 16,
+                                 "mini_epochs": 1}}, seed=0)
+    ts = agent.init()
+    ts, metrics = agent._train_epoch(ts)
+    env_keys = [k for k in metrics if k.startswith("env/")]
+    assert env_keys, metrics.keys()
+    import numpy as _np
+    assert all(_np.isfinite(float(metrics[k])) for k in env_keys)
