@@ -46,4 +46,8 @@ def make(
     full = load_config(overrides) if cfg is None else {"task": cfg}
     if sim_device.startswith("cpu"):
         _jax.config.update("jax_platforms", "cpu")
-    return task_map[task](full["task"])
+    name = task
+    if name not in task_map:
+        # variant configs alias an implemented class via their name: field
+        name = full["task"].get("name", name)
+    return task_map[name](full["task"])

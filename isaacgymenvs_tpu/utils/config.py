@@ -151,6 +151,38 @@ def apply_overrides(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]
     return cfg
 
 
+def _deep_merge(base: Dict[str, Any], over: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _load_group_yaml(group_dir: str, name: str) -> Dict[str, Any]:
+    """Load one config-group yaml, honoring a Hydra-style `defaults:` list
+    (base names from the same group merged in order, `_self_` = this
+    file's own keys -- the mechanism the reference's thin variant configs
+    like AntSAC.yaml / AllegroHandFF.yaml are built on)."""
+    cfg = _load_yaml(os.path.join(group_dir, f"{name}.yaml"))
+    defaults = cfg.pop("defaults", None)
+    if not defaults:
+        return cfg
+    merged: Dict[str, Any] = {}
+    self_done = False
+    for entry in defaults:
+        if entry == "_self_":
+            merged = _deep_merge(merged, cfg)
+            self_done = True
+        else:
+            merged = _deep_merge(merged, _load_group_yaml(group_dir, str(entry)))
+    if not self_done:
+        merged = _deep_merge(merged, cfg)
+    return merged
+
+
 def load_config(
     overrides: Optional[List[str]] = None,
     config_dir: Optional[str] = None,
@@ -176,10 +208,21 @@ def load_config(
         raise FileNotFoundError(
             f"unknown task {task_name!r} (no {task_path})"
         )
-    cfg["task"] = _load_yaml(task_path)
+    cfg["task"] = _load_group_yaml(os.path.join(cdir, "task"), task_name)
     cfg["task_name"] = task_name
-    train_path = os.path.join(cdir, "train", f"{train_name}.yaml")
-    cfg["train"] = _load_yaml(train_path) if os.path.exists(train_path) else {}
+    train_dir = os.path.join(cdir, "train")
+    # <Task>PPO.yaml, falling back to <Task>.yaml (e.g. AntSAC)
+    if not os.path.exists(os.path.join(train_dir, f"{train_name}.yaml")) and (
+        "train" not in pre
+        and os.path.exists(os.path.join(train_dir, f"{task_name}.yaml"))
+    ):
+        train_name = task_name
+    train_path = os.path.join(train_dir, f"{train_name}.yaml")
+    cfg["train"] = (
+        _load_group_yaml(train_dir, train_name)
+        if os.path.exists(train_path)
+        else {}
+    )
 
     # pbt config group (reference cfg/config.yaml defaults: pbt: no_pbt)
     pbt_name = pre.get("pbt", "no_pbt")

@@ -52,3 +52,28 @@ def test_dotted_override():
 def test_unknown_task_raises():
     with pytest.raises(FileNotFoundError):
         load_config(["task=NoSuchTask"])
+
+
+def test_defaults_merging_variants():
+    """Hydra-style `defaults:` lists compose thin variant configs
+    (reference AntSAC.yaml / AllegroHandFF.yaml / ShadowHandOpenAI_*)."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(["task=ShadowHandOpenAI_FF", "num_envs=4"])
+    t = cfg["task"]
+    # base ShadowHand keys survive, variant deltas override
+    assert t["name"] == "ShadowHand"
+    assert t["env"]["observationType"] == "openai"
+    assert t["env"]["controlFrequencyInv"] == 3
+    assert t["env"]["objectType"] == "block"  # inherited from the base
+    # chained defaults: LSTM variant on top of FF
+    cfg2 = load_config(["task=ShadowHandOpenAI_LSTM"])
+    assert cfg2["task"]["env"]["observationType"] == "openai"
+    # train fallback: task=AntSAC resolves train/AntSAC.yaml (no AntSACPPO)
+    cfg3 = load_config(["task=AntSAC"])
+    assert cfg3["train"]["params"]["algo"]["name"] == "sac"
+    # train defaults chain: OpenAI FF train inherits ShadowHandPPO + asym
+    cfg4 = load_config(["task=ShadowHand", "train=ShadowHandOpenAI_FFPPO"])
+    p = cfg4["train"]["params"]
+    assert p["network"]["mlp"]["units"] == [400, 400, 200, 100]
+    assert "central_value_config" in p["config"]

@@ -48,6 +48,12 @@ def main(argv=None):
 
     task_name = cfg["task_name"]
     if task_name not in task_map:
+        # variant configs alias an implemented class via their name: field
+        # (e.g. task=AllegroHandFF -> name: AllegroHand)
+        yaml_name = (cfg.get("task") or {}).get("name")
+        if yaml_name in task_map:
+            task_name = yaml_name
+    if task_name not in task_map:
         raise SystemExit(
             f"unknown task {task_name!r}; available: {sorted(task_map)}"
         )
