@@ -149,6 +149,39 @@ def main(argv=None):
                 logger=logger,
             )
         else:
+            on_epoch = None
+            if cfg.get("capture_video") and dist.is_main_process():
+                # headless video capture (reference train.py:132-144
+                # RecordVideo): every capture_video_freq epochs record
+                # capture_video_len frames of env 0 with the deterministic
+                # policy and render them to PNGs via utils.replay
+                freq = int(cfg.get("capture_video_freq", 1464))
+                length = int(cfg.get("capture_video_len", 100))
+
+                def on_epoch(ts, metrics, _env=env, _agent=agent):
+                    import jax as _jax
+                    import jax.numpy as _jnp
+
+                    epoch = int(metrics["epoch"])
+                    if epoch % freq:
+                        return False
+                    from isaacgymenvs_tpu.utils.replay import (
+                        FrameRecorder,
+                        render_replay,
+                    )
+
+                    rec = FrameRecorder(_env, env_idx=0)
+                    st, ob = _env.reset(_jax.random.PRNGKey(epoch))
+                    for _ in range(length):
+                        st, ob, *_rest = _env.step(st, _agent.act(ts, ob))
+                        rec.add(st)
+                    vdir = os.path.join(
+                        "runs", run_name, "videos", f"epoch_{epoch}"
+                    )
+                    render_replay(rec.save(vdir + ".npz"), vdir, stride=2)
+                    print(f"[video] wrote {vdir}")
+                    return False
+
             agent.train(
                 max_epochs=int(max_iters) if max_iters else None,
                 checkpoint=checkpoint,
@@ -157,6 +190,7 @@ def main(argv=None):
                 save_best_after=save_best_after,
                 logger=logger,
                 mesh=mesh,
+                on_epoch=on_epoch,
             )
     finally:
         if logger is not None:
