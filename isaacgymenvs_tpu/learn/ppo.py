@@ -629,9 +629,11 @@ class PPO:
         ep_ret = jnp.zeros(n)
         done = jnp.zeros(n, bool)
         finished, total = 0, 0.0
+        stat_sums: Dict[str, float] = {}
+        stat_n = 0
         while finished < num_episodes:
             a, ts = policy(ts, obs, done)
-            env_state, obs, rew, done, _ = step(env_state, a)
+            env_state, obs, rew, done, extras = step(env_state, a)
             ep_ret = ep_ret + rew
             d = np.asarray(done)
             if d.any():
@@ -639,8 +641,21 @@ class PPO:
                 total += float(r[d].sum())
                 finished += int(d.sum())
                 ep_ret = jnp.where(done, 0.0, ep_ret)
+                # end-of-episode env stats (the reference test protocol's
+                # consecutive-success printer, shadow_hand.py:426-435)
+                for k, v in extras.items():
+                    if k in ("states", "time_outs"):
+                        continue
+                    va = np.asarray(v)
+                    if va.ndim == 1 and va.shape[0] == n:
+                        stat_sums[k] = stat_sums.get(k, 0.0) + float(
+                            va[d].astype(np.float64).sum()
+                        )
+                stat_n += int(d.sum())
         mean_ret = total / max(finished, 1)
         print(f"played {finished} episodes | mean return {mean_ret:.2f}")
+        for k, v in sorted(stat_sums.items()):
+            print(f"  {k}: {v / max(stat_n, 1):.3f} (mean at episode end)")
         return mean_ret
 
     # ------------------------------------------------------------------
