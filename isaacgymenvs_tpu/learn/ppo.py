@@ -601,6 +601,20 @@ class PPO:
         ts = ts.replace(env_state=env_state)
         return ts, int(ck.get("epoch", 0))
 
+    def override_sigma(self, ts: PPOTrainState, sigma: float) -> PPOTrainState:
+        """Fixed-sigma override (the reference's `sigma=` CLI flag,
+        train.py:214 Runner.run sigma): replace the policy's learned
+        log-std with log(sigma)."""
+        import flax
+
+        params = flax.core.unfreeze(jax.device_get(ts.params))
+        pol = params["policy"]["params"]
+        if "log_sigma" in pol:
+            pol["log_sigma"] = np.full_like(
+                np.asarray(pol["log_sigma"]), np.log(sigma)
+            )
+        return ts.replace(params=jax.device_put(params))
+
     def act(self, ts: PPOTrainState, obs, deterministic: bool = True, key=None):
         """Policy action for eval/play (CommonPlayer.get_action semantics)."""
         nobs = self._norm_obs(ts.obs_rms, obs)

@@ -105,6 +105,23 @@ def main(argv=None):
     run_name = train_params.get("config", {}).get("name") or task_name
     checkpoint = str(cfg.get("checkpoint") or "") or None
 
+    sigma = cfg.get("sigma")
+    if sigma not in (None, "",) and hasattr(agent, "override_sigma"):
+        # reference train.py:214: fixed exploration-sigma override,
+        # applied both to fresh inits and AFTER checkpoint restore
+        _orig_init = agent.init
+        _orig_restore = agent.restore
+
+        def _init_with_sigma():
+            return agent.override_sigma(_orig_init(), float(sigma))
+
+        def _restore_with_sigma(path, ts):
+            ts2, epoch = _orig_restore(path, ts)
+            return agent.override_sigma(ts2, float(sigma)), epoch
+
+        agent.init = _init_with_sigma
+        agent.restore = _restore_with_sigma
+
     if cfg.get("test"):
         if not hasattr(agent, "play"):
             raise SystemExit(f"test mode not supported for algo {algo!r}")
