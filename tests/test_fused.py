@@ -175,3 +175,14 @@ def test_fused_supported_ppair_gating():
     # mesh-geom pairs (FrankaCabinet) stay on the vmap path
     fc = _env("FrankaCabinet")
     assert not fused.fused_supported(fc.model, fc.sim_params, None)
+
+
+def test_fused_matches_vmap_allegro_kuka():
+    """AllegroKuka (cube corners vs table box + fingertips vs cube, all
+    point-vs-box pairs on an uncapped row set) through the fused math."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(["task=AllegroKukaReorientation", "num_envs=4"])["task"]
+    env = task_map["AllegroKukaReorientation"](cfg)
+    assert fused.fused_supported(env.model, env.sim_params, env.terrain)
+    _compare(env, steps=2, qfrc_scale=0.05, tol=5e-4)
