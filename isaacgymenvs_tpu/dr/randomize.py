@@ -40,6 +40,8 @@ _ACTOR_PARAM_MAP = {
     ("dof_properties", "friction"): "dof_friction",  # Coulomb joint friction
     ("rigid_shape_properties", "friction"): "cpoint_friction",
     ("rigid_shape_properties", "restitution"): "cpoint_restitution",
+    ("tendon_properties", "stiffness"): "tendon_stiffness",
+    ("tendon_properties", "damping"): "tendon_damping",
 }
 
 
@@ -54,17 +56,25 @@ class DRSpec(NamedTuple):
     schedule_steps: float
     setup_only: bool
     actor: Optional[str] = None  # actor name the spec is scoped to
+    # correlated-noise component for obs/action specs: a per-env draw
+    # held fixed between re-randomizations (reference range_correlated,
+    # docs/domain_randomization.md)
+    corr_lo: float = 0.0
+    corr_hi: float = 0.0
 
 
 def _spec_from_dict(
     name: str, leaf: Optional[str], d: Dict[str, Any], actor: Optional[str] = None
 ) -> DRSpec:
     rng = d.get("range", [0.0, 1.0])
+    corr = d.get("range_correlated", [0.0, 0.0])
     return DRSpec(
         name=name,
         leaf=leaf,
         lo=float(rng[0]),
         hi=float(rng[1]),
+        corr_lo=float(corr[0]),
+        corr_hi=float(corr[1]),
         operation=str(d.get("operation", "additive")),
         distribution=str(d.get("distribution", "uniform")),
         schedule=str(d.get("schedule", "constant")),
@@ -121,6 +131,8 @@ class DomainRandomizer:
         model: Model,
         params: Dict[str, Any],
         actor_ranges: Optional[Dict[str, Tuple[int, int]]] = None,
+        obs_dim: Optional[int] = None,
+        act_dim: Optional[int] = None,
     ):
         """actor_ranges: optional {actor_name: (body_lo, body_hi)} scoping
         each actor's specs to its own bodies/dofs/points (the reference
@@ -130,6 +142,8 @@ class DomainRandomizer:
         self.model = model
         self.actor_ranges = actor_ranges or {}
         self.frequency = int(params.get("frequency", 1))
+        self.obs_dim = obs_dim
+        self.act_dim = act_dim
         self.obs_spec = (
             _spec_from_dict("observations", None, params["observations"])
             if "observations" in params
@@ -236,6 +250,21 @@ class DomainRandomizer:
                 self.gravity_spec, k, (n, 3),
                 self._sched_scale(self.gravity_spec, frames),
             )
+        # correlated obs/action noise: one per-env draw held fixed until
+        # the next re-randomization (reference range_correlated)
+        for spec, dim, name in (
+            (self.obs_spec, self.obs_dim, "observations_corr"),
+            (self.act_spec, self.act_dim, "actions_corr"),
+        ):
+            if spec is None or dim is None:
+                continue
+            if spec.corr_lo == 0.0 and spec.corr_hi == 0.0:
+                continue
+            key, k = jax.random.split(key)
+            corr = spec._replace(lo=spec.corr_lo, hi=spec.corr_hi)
+            out[name] = _sample_spec(
+                corr, k, (n, dim), self._sched_scale(spec, frames)
+            )
         return out
 
     def identity_sample(self, n: int) -> Dict[str, jax.Array]:
@@ -244,6 +273,15 @@ class DomainRandomizer:
         for spec in self.model_specs:
             base = self._leaf_base(spec.leaf)
             out[spec.name] = jnp.full((n,) + base.shape, _identity_value(spec))
+        for spec, dim, name in (
+            (self.obs_spec, self.obs_dim, "observations_corr"),
+            (self.act_spec, self.act_dim, "actions_corr"),
+        ):
+            if spec is None or dim is None:
+                continue
+            if spec.corr_lo == 0.0 and spec.corr_hi == 0.0:
+                continue
+            out[name] = jnp.full((n, dim), _identity_value(spec))
         if self.gravity_spec is not None:
             out["gravity"] = jnp.full(
                 (n, 3), _identity_value(self.gravity_spec)
@@ -290,10 +328,21 @@ class DomainRandomizer:
             x, _sample_spec(spec, key, x.shape, s), spec.operation
         )
 
-    def observation_noise(self, key, obs, frames):
-        """White obs noise, applied every step (vec_task.py:397-400)."""
-        return self.noise(self.obs_spec, key, obs, frames)
+    def observation_noise(self, key, obs, frames, dr_sample=None):
+        """White + correlated obs noise (vec_task.py:397-400; correlated
+        part re-drawn at DR frequency, reference range_correlated)."""
+        out = self.noise(self.obs_spec, key, obs, frames)
+        if dr_sample is not None and "observations_corr" in dr_sample:
+            out = _apply_op(
+                out, dr_sample["observations_corr"], self.obs_spec.operation
+            )
+        return out
 
-    def action_noise(self, key, actions, frames):
-        """White action noise (vec_task.py:370-373)."""
-        return self.noise(self.act_spec, key, actions, frames)
+    def action_noise(self, key, actions, frames, dr_sample=None):
+        """White + correlated action noise (vec_task.py:370-373)."""
+        out = self.noise(self.act_spec, key, actions, frames)
+        if dr_sample is not None and "actions_corr" in dr_sample:
+            out = _apply_op(
+                out, dr_sample["actions_corr"], self.act_spec.operation
+            )
+        return out

@@ -111,6 +111,8 @@ class VecTask:
                 self.model,
                 task_cfg.get("randomization_params", {}),
                 actor_ranges=self.dr_actor_ranges(),
+                obs_dim=self.num_obs,
+                act_dim=self.num_acts,
             )
         # ADR (reference adr_vec_task.py:489-1250): tasks that want it set
         # an `adr:` block in the task cfg AND keep an "adr" (P,)-leaf in
@@ -378,7 +380,9 @@ class VecTask:
         frames = state.frames if state.frames is not None else jnp.zeros((), jnp.int32)
         if self.randomizer is not None:
             key, kan = jax.random.split(key)
-            actions = self.randomizer.action_noise(kan, actions, frames)
+            actions = self.randomizer.action_noise(
+                kan, actions, frames, dr_sample=state.dr
+            )
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
         # 1. apply actions + physics
@@ -493,7 +497,9 @@ class VecTask:
         obs = jax.vmap(self.observe)(q, qd, kin, sensors, task, actions, progress)
         if self.randomizer is not None:
             key, kon = jax.random.split(key)
-            obs = self.randomizer.observation_noise(kon, obs, frames)
+            obs = self.randomizer.observation_noise(
+                kon, obs, frames, dr_sample=dr
+            )
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
         # 4b. optional task extras on the pre-reward task state

@@ -94,3 +94,42 @@ def test_obs_action_noise_applied():
     y = dr.observation_noise(key, x, jnp.zeros((), jnp.int32))
     assert float(jnp.abs(y).max()) > 0.0
     assert float(jnp.abs(y).max()) < 0.02  # gaussian var 0.002
+
+
+def test_correlated_noise_held_between_rerandomizations():
+    """range_correlated: the correlated obs/action component is one
+    per-env draw held fixed until the next DR re-randomization, on top
+    of per-step white noise (reference docs/domain_randomization.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from isaacgymenvs_tpu.tasks import task_map
+
+    cfg = {
+        "env": {"numEnvs": 4, "clipActions": 1.0, "clipObservations": 100.0},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+        "task": {
+            "randomize": True,
+            "randomization_params": {
+                "frequency": 10_000,  # never re-randomize in this test
+                "observations": {
+                    "range": [0, 1e-6],  # negligible white noise
+                    "range_correlated": [0, 0.5],
+                    "operation": "additive",
+                    "distribution": "gaussian",
+                },
+            },
+        },
+    }
+    env = task_map["Cartpole"](cfg)
+    assert env.randomizer.obs_spec.corr_hi == 0.5
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    corr = np.asarray(state.dr["observations_corr"])
+    assert corr.shape == (4, env.num_obs)
+    step = jax.jit(env.step)
+    # hold the sim still (zero actions, nothing moves much in 2 steps):
+    # the obs differences across steps must be tiny (white ~1e-6) while
+    # the offset from the noiseless obs equals the correlated draw
+    s1, o1, *_ = step(state, jnp.zeros((4, 1)))
+    corr2 = np.asarray(s1.dr["observations_corr"])
+    assert np.allclose(corr, corr2)  # held fixed between resets
