@@ -142,8 +142,11 @@ class DomainRandomizer:
         self.model = model
         self.actor_ranges = actor_ranges or {}
         self.frequency = int(params.get("frequency", 1))
-        self.obs_dim = obs_dim
-        self.act_dim = act_dim
+        # obs/act dims may be callables: subclasses can finalize their
+        # num_obs/num_acts AFTER the base VecTask __init__ builds the
+        # randomizer, so resolve at sample time
+        self._obs_dim = obs_dim
+        self._act_dim = act_dim
         self.obs_spec = (
             _spec_from_dict("observations", None, params["observations"])
             if "observations" in params
@@ -160,10 +163,27 @@ class DomainRandomizer:
             self.gravity_spec = _spec_from_dict("gravity", None, sim["gravity"])
 
         self.model_specs: List[DRSpec] = []
+        self.scale_specs: List[DRSpec] = []
         for actor, groups in params.get("actor_params", {}).items():
             for group, props in groups.items():
                 if not isinstance(props, dict):
                     continue  # e.g. color: True
+                if group == "scale" and "range" in props:
+                    # uniform geometric actor scaling (reference
+                    # set_actor_scale; docs/domain_randomization.md):
+                    # one factor s per env scales the actor's contact
+                    # points and geom sizes by s, mass by s^3, inertia
+                    # by s^5, com offset by s. Requires actor_ranges.
+                    if actor not in self.actor_ranges:
+                        raise ValueError(
+                            f"actor_params.{actor}.scale needs "
+                            "dr_actor_ranges() to scope the actor"
+                        )
+                    self.scale_specs.append(
+                        _spec_from_dict(f"{actor}.scale", None, props,
+                                        actor=actor)
+                    )
+                    continue
                 for prop, cfg in props.items():
                     leaf = _ACTOR_PARAM_MAP.get((group, prop))
                     if leaf is None:
@@ -250,11 +270,16 @@ class DomainRandomizer:
                 self.gravity_spec, k, (n, 3),
                 self._sched_scale(self.gravity_spec, frames),
             )
+        for spec in self.scale_specs:
+            key, k = jax.random.split(key)
+            out[spec.name] = _sample_spec(
+                spec, k, (n,), self._sched_scale(spec, frames)
+            )
         # correlated obs/action noise: one per-env draw held fixed until
         # the next re-randomization (reference range_correlated)
         for spec, dim, name in (
-            (self.obs_spec, self.obs_dim, "observations_corr"),
-            (self.act_spec, self.act_dim, "actions_corr"),
+            (self.obs_spec, self.obs_dim(), "observations_corr"),
+            (self.act_spec, self.act_dim(), "actions_corr"),
         ):
             if spec is None or dim is None:
                 continue
@@ -267,15 +292,25 @@ class DomainRandomizer:
             )
         return out
 
+    def obs_dim(self):
+        d = self._obs_dim
+        return d() if callable(d) else d
+
+    def act_dim(self):
+        d = self._act_dim
+        return d() if callable(d) else d
+
     def identity_sample(self, n: int) -> Dict[str, jax.Array]:
         """Sample equal to 'no randomization' (used pre-first-reset)."""
         out = {}
         for spec in self.model_specs:
             base = self._leaf_base(spec.leaf)
             out[spec.name] = jnp.full((n,) + base.shape, _identity_value(spec))
+        for spec in self.scale_specs:
+            out[spec.name] = jnp.ones(n)
         for spec, dim, name in (
-            (self.obs_spec, self.obs_dim, "observations_corr"),
-            (self.act_spec, self.act_dim, "actions_corr"),
+            (self.obs_spec, self.obs_dim(), "observations_corr"),
+            (self.act_spec, self.act_dim(), "actions_corr"),
         ):
             if spec is None or dim is None:
                 continue
@@ -292,6 +327,11 @@ class DomainRandomizer:
     def model_axes(self, model: Model) -> Model:
         """vmap in_axes pytree: 0 on randomized leaves, None elsewhere."""
         leaves = {spec.leaf for spec in self.model_specs}
+        if self.scale_specs:
+            leaves |= {
+                "cpoint_pos", "geom_size", "body_ipos",
+                "body_mass", "body_inertia",
+            }
         axes = jax.tree.map(lambda _: None, model)
         return axes.replace(**{leaf: 0 for leaf in leaves})
 
@@ -310,6 +350,37 @@ class DomainRandomizer:
             updates[spec.leaf] = (
                 applied if mask is None else jnp.where(mask[None], applied, base)
             )
+        for spec in self.scale_specs:
+            b0, b1 = self.actor_ranges[spec.actor]
+            m = self.model
+            body_sel = (np.arange(m.nbody) >= b0) & (np.arange(m.nbody) < b1)
+            geom_sel = (np.asarray(m.geom_body) >= b0) & (
+                np.asarray(m.geom_body) < b1
+            )
+            cp_sel = (np.asarray(m.cpoint_body) >= b0) & (
+                np.asarray(m.cpoint_body) < b1
+            )
+            n = sample[spec.name].shape[0]
+            s_ = sample[spec.name].reshape(n, 1)
+
+            def scaled(leaf, sel, power, extra_dims):
+                base = updates.get(leaf)
+                if base is None:
+                    base = jnp.broadcast_to(
+                        self._leaf_base(leaf),
+                        (n,) + self._leaf_base(leaf).shape,
+                    )
+                fac = s_.reshape((n, 1) + (1,) * extra_dims) ** power
+                mask = jnp.asarray(sel).reshape(
+                    (1, -1) + (1,) * extra_dims
+                )
+                return jnp.where(mask, base * fac, base)
+
+            updates["cpoint_pos"] = scaled("cpoint_pos", cp_sel, 1.0, 1)
+            updates["geom_size"] = scaled("geom_size", geom_sel, 1.0, 1)
+            updates["body_ipos"] = scaled("body_ipos", body_sel, 1.0, 1)
+            updates["body_mass"] = scaled("body_mass", body_sel, 3.0, 0)
+            updates["body_inertia"] = scaled("body_inertia", body_sel, 5.0, 2)
         return model.replace(**updates)
 
     def gravity(self, base_gravity, sample: Dict[str, jax.Array]):

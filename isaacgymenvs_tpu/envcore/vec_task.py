@@ -111,8 +111,8 @@ class VecTask:
                 self.model,
                 task_cfg.get("randomization_params", {}),
                 actor_ranges=self.dr_actor_ranges(),
-                obs_dim=self.num_obs,
-                act_dim=self.num_acts,
+                obs_dim=lambda: self.num_obs,
+                act_dim=lambda: self.num_acts,
             )
         # ADR (reference adr_vec_task.py:489-1250): tasks that want it set
         # an `adr:` block in the task cfg AND keep an "adr" (P,)-leaf in

@@ -133,3 +133,36 @@ def test_correlated_noise_held_between_rerandomizations():
     s1, o1, *_ = step(state, jnp.zeros((4, 1)))
     corr2 = np.asarray(s1.dr["observations_corr"])
     assert np.allclose(corr, corr2)  # held fixed between resets
+
+
+def test_actor_scale_randomization():
+    """actor_params.<actor>.scale: uniform geometric scaling per env --
+    points and geom sizes x s, mass x s^3, inertia x s^5 (the reference
+    set_actor_scale + mass rescale semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from isaacgymenvs_tpu.dr.randomize import DomainRandomizer
+    from isaacgymenvs_tpu.model.spec import FREE, GEOM_BOX, ModelBuilder
+
+    b = ModelBuilder()
+    body = b.add_body(parent=-1, name="obj", pos=(0, 0, 0), quat=(0, 0, 0, 1),
+                      jnt_type=FREE, mass=2.0, inertia=np.eye(3) * 1e-3)
+    b.add_geom(body, GEOM_BOX, (0, 0, 0), (0, 0, 0, 1), (0.1, 0.1, 0.1), 0.5)
+    model = b.finalize()
+    params = {"actor_params": {"object": {
+        "scale": {"range": [0.5, 0.5], "operation": "scaling",
+                  "distribution": "uniform", "setup_only": True}}}}
+    rnd = DomainRandomizer(model, params, actor_ranges={"object": (0, 1)})
+    sample = rnd.sample(jax.random.PRNGKey(0), 3, jnp.zeros(()))
+    assert np.allclose(np.asarray(sample["object.scale"]), 0.5)
+    bm = rnd.batched_model(model, sample)
+    assert np.allclose(np.asarray(bm.geom_size)[:, 0], 0.05)
+    assert np.allclose(np.asarray(bm.body_mass)[:, 0], 2.0 * 0.5**3)
+    assert np.allclose(
+        np.asarray(bm.body_inertia)[:, 0, 0, 0], 1e-3 * 0.5**5
+    )
+    # identity sample leaves everything unscaled
+    ident = rnd.identity_sample(3)
+    bm2 = rnd.batched_model(model, ident)
+    assert np.allclose(np.asarray(bm2.geom_size)[:, 0], 0.1)
