@@ -298,10 +298,18 @@ class SAC:
             )
             ep_ret = ts.ep_return + reward
             ep_len = ts.ep_len + 1
+            env_metrics = {
+                k: jnp.mean(v.astype(jnp.float32))
+                for k, v in extras.items()
+                if k not in ("states", "time_outs")
+                and hasattr(v, "ndim")
+                and v.ndim == 1
+            }
             out = (
                 jnp.sum(jnp.where(done, ep_ret, 0.0)),
                 jnp.sum(jnp.where(done, ep_len, 0)),
                 jnp.sum(done),
+                env_metrics,
             )
             ts = ts.replace(
                 env_state=env_state,
@@ -331,7 +339,7 @@ class SAC:
         ts, (outs, losses) = jax.lax.scan(
             step_fn, ts, None, length=cfg.num_steps_per_episode
         )
-        ep_ret_sum, ep_len_sum, n_done = outs
+        ep_ret_sum, ep_len_sum, n_done, env_metrics = outs
         closs, aloss, alpha = losses["c_loss"], losses["a_loss"], losses["alpha"]
         metrics = {
             "ep_return_sum": jnp.sum(ep_ret_sum),
@@ -340,6 +348,8 @@ class SAC:
             "c_loss": jnp.mean(closs),
             "a_loss": jnp.mean(aloss),
             "alpha": alpha[-1],
+            # rollout-mean scalar env extras (same series PPO logs)
+            **{f"env/{k}": jnp.mean(v) for k, v in env_metrics.items()},
         }
         return ts, metrics
 
