@@ -48,6 +48,9 @@ task_map: Dict[str, Type[VecTask]] = {
     "AllegroKukaThrow": AllegroKukaThrow,
     "AllegroHandDextremeADR": AllegroHandDextremeADR,
     "AllegroHandDextremeManualDR": AllegroHandDextremeManualDR,
+    # reference registry aliases (tasks/__init__.py:92-93)
+    "AllegroHandADR": AllegroHandDextremeADR,
+    "AllegroHandManualDR": AllegroHandDextremeManualDR,
     "Cartpole": Cartpole,
     "FactoryTaskNutBoltPick": FactoryTaskNutBoltPick,
     "FactoryTaskNutBoltPlace": FactoryTaskNutBoltPlace,

@@ -49,7 +49,8 @@ class AllegroHand(ShadowHand):
         env.setdefault("episodeLength", 600)
         env.setdefault("observationType", "full_state")
         # AllegroHand obs dims differ from ShadowHand
-        self._allegro_dims = {"full_no_vel": 50, "full": 72, "full_state": 88}
+        # "no_vel" is the reference's dextreme-era name for the same layout
+        self._allegro_dims = {"no_vel": 50, "full_no_vel": 50, "full": 72, "full_state": 88}
         super().__init__(cfg)
         self.num_obs = self._allegro_dims[self.obs_type]
         self.num_states = 88 if self.asymmetric_obs else 0
@@ -131,7 +132,7 @@ class AllegroHand(ShadowHand):
         dof_vel = qd[jnp.asarray(self.scalar_dof_indices)]
         scaled_pos = maths.unscale(dof_pos, self.dof_lower, self.dof_upper)
 
-        if obs_type == "full_no_vel":
+        if obs_type in ("full_no_vel", "no_vel"):
             return jnp.concatenate(
                 [scaled_pos, obj_pos, obj_rot, goal_pos, goal_rot, quat_diff, actions]
             )

@@ -45,7 +45,7 @@ class AllegroHandDextremeADR(AllegroHand):
 
     def __init__(self, cfg):
         env = cfg["env"]
-        env.setdefault("observationType", "full_no_vel")
+        env.setdefault("observationType", "no_vel")
         env.setdefault("asymmetric_observations", True)
         env.setdefault("maxConsecutiveSuccesses", 50)
         super().__init__(cfg)

@@ -80,6 +80,9 @@ class AllegroKukaReorientation(VecTask):
         return 93 + 6 * self.num_keypoints
 
     # ------------------------------------------------------------------
+    def dr_actor_ranges(self):
+        return getattr(self, "_actor_ranges", None)
+
     def build_model(self):
         arm = load_urdf(
             asset_path("urdf/kuka_allegro_description/kuka_allegro_touch_sensor.urdf"),
@@ -102,6 +105,10 @@ class AllegroKukaReorientation(VecTask):
         )
         model, refs = compose([arm, cube, table], ["", "cube:", "table:"])
         self.arm_ref, self.cube_ref, self.table_ref = refs
+        self._actor_ranges = {
+            "allegro": (0, self.cube_ref.body0),
+            "object": (self.cube_ref.body0, self.table_ref.body0),
+        }
         cube_body = self.cube_ref.body0
         cube_geom = next(
             g for g in range(model.ngeom) if model.geom_body[g] == cube_body

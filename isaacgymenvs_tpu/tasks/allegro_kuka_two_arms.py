@@ -102,6 +102,10 @@ class AllegroKukaTwoArmsReorientation(AllegroKukaReorientation):
         )
         self.arm_refs = refs[: self.NUM_ARMS]
         self.cube_ref, self.table_ref = refs[self.NUM_ARMS:]
+        self._actor_ranges = {
+            "allegro": (0, self.cube_ref.body0),  # both arm+hand actors
+            "object": (self.cube_ref.body0, self.table_ref.body0),
+        }
         cube_body = self.cube_ref.body0
         cube_geom = next(
             g for g in range(model.ngeom) if model.geom_body[g] == cube_body

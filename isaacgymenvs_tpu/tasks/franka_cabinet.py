@@ -35,9 +35,9 @@ class FrankaCabinet(VecTask):
         self.dof_vel_scale = float(env.get("dofVelocityScale", 0.1))
         self.dist_reward_scale = float(env.get("distRewardScale", 2.0))
         self.rot_reward_scale = float(env.get("rotRewardScale", 0.5))
-        self.around_handle_reward_scale = float(env.get("aroundHandleRewardScale", 10.0))
+        self.around_handle_reward_scale = float(env.get("aroundHandleRewardScale", 0.25))
         self.open_reward_scale = float(env.get("openRewardScale", 7.5))
-        self.finger_dist_reward_scale = float(env.get("fingerDistRewardScale", 100.0))
+        self.finger_dist_reward_scale = float(env.get("fingerDistRewardScale", 5.0))
         self.action_penalty_scale = float(env.get("actionPenaltyScale", 0.01))
         self.distX_offset = 0.04
         env.setdefault("episodeLength", 500)
@@ -251,7 +251,9 @@ class FrankaCabinet(VecTask):
         )
         rewards = jnp.where(bad, -1.0, rewards)
 
-        done = bad | (drawer_open > 0.39) | (progress >= self.max_episode_length - 1)
+        # reference resets only on success/timeout; 'bad style' is a -1
+        # penalty, not a termination (franka_cabinet.py:546-555)
+        done = (drawer_open > 0.39) | (progress >= self.max_episode_length - 1)
         targets = jnp.clip(
             task["targets"] + self.action_scale * self.dt * actions,
             self.dof_lower, self.dof_upper,

@@ -73,7 +73,8 @@ class ShadowHand(VecTask):
         self.ignore_z = self.object_type == "pen"
         self.obs_type = str(env.get("observationType", "full_state"))
         self.asymmetric_obs = bool(env.get("asymmetric_observations", False))
-        num_obs_dict = {"openai": 42, "full_no_vel": 77, "full": 157, "full_state": 211}
+        # "no_vel" = the dextreme-era alias for the no-velocity layout
+        num_obs_dict = {"openai": 42, "no_vel": 77, "full_no_vel": 77, "full": 157, "full_state": 211}
         self.num_obs = num_obs_dict[self.obs_type]
         self.num_states = 211 if self.asymmetric_obs else 0
         self.num_acts = 20
@@ -82,6 +83,9 @@ class ShadowHand(VecTask):
         self._setup_indices()
 
     # ------------------------------------------------------------------
+    def dr_actor_ranges(self):
+        return getattr(self, "_actor_ranges", None)
+
     def build_model(self):
         env = self.cfg["env"]
         hand = load_mjcf(
@@ -117,6 +121,11 @@ class ShadowHand(VecTask):
 
         model, refs = compose([hand, obj], ["", "object:"])
         self.hand_ref, self.obj_ref = refs
+        # DR actor scoping (reference randomizes per actor handle)
+        self._actor_ranges = {
+            "hand": (0, self.obj_ref.body0),
+            "object": (self.obj_ref.body0, self.obj_ref.body0 + obj.nbody),
+        }
 
         # hand base pose: z = 0.5 (shadow_hand.py:404-405); hand root fixed
         model = model.replace(
@@ -296,7 +305,7 @@ class ShadowHand(VecTask):
                     actions,
                 ]
             )
-        if obs_type == "full_no_vel":
+        if obs_type in ("full_no_vel", "no_vel"):
             return jnp.concatenate(
                 [
                     maths.unscale(dof_pos, self.dof_lower, self.dof_upper),

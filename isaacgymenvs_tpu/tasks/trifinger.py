@@ -91,7 +91,7 @@ class Trifinger(VecTask):
         )
         rt = env.get("reward_terms", {})
         self.finger_move_penalty_weight = float(
-            rt.get("finger_move_penalty", {}).get("weight", -0.05)
+            rt.get("finger_move_penalty", {}).get("weight", -0.5)
         )
         self.finger_reach_object_weight = float(
             rt.get("finger_reach_object_rate", {}).get("weight", -250.0)
@@ -100,7 +100,7 @@ class Trifinger(VecTask):
             rt.get("object_dist", {}).get("weight", 2000.0)
         )
         self.object_rot_weight = float(
-            rt.get("object_rot", {}).get("weight", 300.0)
+            rt.get("object_rot", {}).get("weight", 2000.0)
         )
         self.use_keypoints = bool(
             rt.get("keypoints_dist", {}).get("activate", True)
@@ -115,6 +115,9 @@ class Trifinger(VecTask):
         self.num_acts = sum(self.ACTION_SPEC.values())
         super().__init__(cfg)
         self._setup()
+
+    def dr_actor_ranges(self):
+        return getattr(self, "_actor_ranges", None)
 
     def build_model(self):
         robot = load_urdf(
@@ -134,6 +137,10 @@ class Trifinger(VecTask):
         )
         model, refs = compose([robot, obj], ["", "object:"])
         self.robot_ref, self.obj_ref = refs
+        self._actor_ranges = {
+            "robot": (0, self.obj_ref.body0),
+            "object": (self.obj_ref.body0, self.obj_ref.body0 + obj.nbody),
+        }
         # robot base: the trifinger platform hangs above the table (z=0 top)
         model = model.replace(
             body_pos=model.body_pos.at[0].set(jnp.array([0.0, 0.0, 0.0]))

@@ -12,7 +12,11 @@ from isaacgymenvs_tpu.tasks import task_map
 def make(n=2, **env_kw):
     from isaacgymenvs_tpu.utils.config import load_config
 
-    cfg = load_config(["task=Trifinger", f"num_envs={n}"])["task"]
+    # randomize defaults to True (reference parity); these are
+    # deterministic behavior tests, so pin DR off
+    cfg = load_config(
+        ["task=Trifinger", f"num_envs={n}", "task.task.randomize=False"]
+    )["task"]
     cfg["env"].update(env_kw)
     return task_map["Trifinger"](cfg)
 
