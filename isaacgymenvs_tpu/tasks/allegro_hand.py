@@ -119,8 +119,11 @@ class AllegroHand(ShadowHand):
         # all dofs actuated (allegro_hand.py:245); override ShadowHand's
         # actuator-derived subset (the urdf has no actuators)
         self.actuated_idx = jnp.arange(self.num_hand_dofs)
-        # object spawn: dy=-0.2, dz=0.06 (allegro_hand.py:290-292)
-        self.object_start_pos = jnp.array([0.0, -0.2, 0.56])
+        # object spawn: hand z (0.5) + startObjectPoseDY/DZ offsets
+        # (reference allegro_hand.py:288-292; cfg overrides e.g. -0.19)
+        dy = float(self.cfg["env"].get("startObjectPoseDY", -0.2))
+        dz = float(self.cfg["env"].get("startObjectPoseDZ", 0.06))
+        self.object_start_pos = jnp.array([0.0, dy, 0.5 + dz])
         self.goal_start_pos = self.object_start_pos + jnp.array([0.0, 0.0, -0.04])
 
     def _obs_impl(self, q, qd, kin, sensors, task, actions, obs_type):

@@ -48,6 +48,9 @@ class AllegroHandDextremeADR(AllegroHand):
         env.setdefault("observationType", "no_vel")
         env.setdefault("asymmetric_observations", True)
         env.setdefault("maxConsecutiveSuccesses", 50)
+        self.action_delta_penalty_scale = float(
+            env.get("actionDeltaPenaltyScale", -0.2)
+        )
         super().__init__(cfg)
         # policy obs: dof_pos(16) + cube pose(7) + goal_rot(4) +
         # quat_diff(4) + actions(16)
@@ -188,6 +191,15 @@ class AllegroHandDextremeADR(AllegroHand):
         # average target state consistent by replaying the corruption
         a_c = self._corrupt_action(actions, q, task)
         new_task["targets"] = self._recompute_targets(task, a_c)
+        # dextreme-only reward terms (reference compute_hand_reward
+        # allegro_hand_dextreme.py:1617-1626): smoothness penalty on the
+        # PD-target delta + hand dof velocity penalty -0.05*(v/4)^2
+        tgt_delta = new_task["targets"] - task["targets"]
+        reward = reward + self.action_delta_penalty_scale * jnp.sum(
+            tgt_delta**2
+        )
+        hand_vel = qd[jnp.asarray(self.scalar_dof_indices)]
+        reward = reward - 0.05 * jnp.sum((hand_vel / 4.0) ** 2)
         # action-latency queue push (raw policy action stream)
         new_task["act_hist"] = jnp.concatenate(
             [actions[None], task["act_hist"][:-1]], axis=0

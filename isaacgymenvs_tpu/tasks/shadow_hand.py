@@ -68,6 +68,13 @@ class ShadowHand(VecTask):
         self.use_relative_control = bool(env.get("useRelativeControl", False))
         self.act_moving_average = float(env.get("actionsMovingAverage", 1.0))
         self.max_consecutive_successes = int(env.get("maxConsecutiveSuccesses", 0))
+        # resetTime (seconds) > 0 overwrites episodeLength (reference
+        # shadow_hand.py:81 + dextreme variants: round(t / (cfi * dt)))
+        reset_time = float(env.get("resetTime", -1.0))
+        if reset_time > 0.0:
+            _dt = float(cfg.get("sim", {}).get("dt", 1.0 / 60.0))
+            _cfi = int(env.get("controlFrequencyInv", 1))
+            env["episodeLength"] = int(round(reset_time / (_cfi * _dt)))
         self.av_factor = float(env.get("averFactor", 0.1))
         self.object_type = str(env.get("objectType", "block"))
         self.ignore_z = self.object_type == "pen"
