@@ -719,6 +719,12 @@ class PPO:
         t_start = time.time()
         for epoch in range(start_epoch + 1, max_epochs + 1):
             t0 = time.time()
+            if cfg.lr_schedule == "linear":
+                # rl_games LinearScheduler: lr decays to ~0 over
+                # max_epochs (reference train cfgs use this for
+                # dextreme/IndustReal)
+                frac = max(0.0, 1.0 - (epoch - 1) / max(1, max_epochs))
+                ts = ts.replace(lr=jnp.asarray(cfg.learning_rate * frac))
             ts, metrics = self._train_epoch(ts)
             metrics = jax.device_get(metrics)
             dt_epoch = time.time() - t0

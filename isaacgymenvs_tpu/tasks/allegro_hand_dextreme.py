@@ -51,6 +51,10 @@ class AllegroHandDextremeADR(AllegroHand):
         self.action_delta_penalty_scale = float(
             env.get("actionDeltaPenaltyScale", -0.2)
         )
+        self.apply_random_quat = bool(env.get("apply_random_quat", True))
+        self.num_success_hold_steps = int(
+            env.get("num_success_hold_steps", 1)
+        )
         super().__init__(cfg)
         # policy obs: dof_pos(16) + cube pose(7) + goal_rot(4) +
         # quat_diff(4) + actions(16)
@@ -68,6 +72,14 @@ class AllegroHandDextremeADR(AllegroHand):
             in_dim=23, num_actions=16,
             seed=int(self.cfg.get("seed", 0) or 0),
         )
+
+    def _sample_rot(self, key):
+        # uniform random quaternion (reference get_random_quat via
+        # apply_random_quat, allegro_hand_dextreme.py:1155,712)
+        if not self.apply_random_quat:
+            return super()._sample_rot(key)
+        v = jax.random.normal(key, (4,))
+        return v / jnp.linalg.norm(v)
 
     # -- adr param access ------------------------------------------------
     def _a(self, task, name, default=0.0):

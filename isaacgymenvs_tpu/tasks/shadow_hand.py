@@ -39,6 +39,10 @@ def randomize_rotation(rand0, rand1):
 
 class ShadowHand(VecTask):
     use_pd_targets = True
+    # goal must stay within tolerance for hold_count > this to count as
+    # reached (reference dextreme hold_count_buf:1630-1632; 0 = classic
+    # ShadowHand immediate success)
+    num_success_hold_steps = 0
     fingertip_names = (
         "robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
         "robot0:lfdistal", "robot0:thdistal",
@@ -92,6 +96,13 @@ class ShadowHand(VecTask):
     # ------------------------------------------------------------------
     def dr_actor_ranges(self):
         return getattr(self, "_actor_ranges", None)
+
+    def _sample_rot(self, key):
+        """Goal/object rotation draw: ShadowHand uses the reference's
+        two-angle randomize_rotation; DeXtreme overrides with uniform
+        quaternions (apply_random_quat, allegro_hand_dextreme.py:712)."""
+        r = jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+        return randomize_rotation(r[0], r[1])
 
     def build_model(self):
         env = self.cfg["env"]
@@ -215,14 +226,12 @@ class ShadowHand(VecTask):
         # object pose (shadow_hand.py:618-633)
         dp = jax.random.uniform(kp, (3,), minval=-1.0, maxval=1.0)
         obj_pos = self.object_start_pos + self.reset_position_noise * dp
-        rr = jax.random.uniform(kr, (2,), minval=-1.0, maxval=1.0)
-        obj_rot = randomize_rotation(rr[0], rr[1])
+        obj_rot = self._sample_rot(kr)
         oq = self.obj_q
         q = q.at[oq : oq + 3].set(obj_pos).at[oq + 3 : oq + 7].set(obj_rot)
 
         # goal rotation (reset_target_pose :587-602)
-        rg = jax.random.uniform(kg, (2,), minval=-1.0, maxval=1.0)
-        goal_rot = randomize_rotation(rg[0], rg[1])
+        goal_rot = self._sample_rot(kg)
 
         # random-force probability per env (log-uniform, :352-355)
         lo, hi = self.force_prob_range
@@ -233,6 +242,7 @@ class ShadowHand(VecTask):
         task = {
             "goal_rot": goal_rot,
             "successes": jnp.zeros(()),
+            "hold": jnp.zeros((), jnp.int32),
             "targets": dof_pos,  # prev position targets
             "rb_force": jnp.zeros(3),
             "force_prob": force_prob,
@@ -386,7 +396,9 @@ class ShadowHand(VecTask):
         action_penalty = jnp.sum(actions**2)
         reward = dist_rew + rot_rew + action_penalty * self.action_penalty_scale
 
-        goal_reached = jnp.abs(rot_dist) <= tol
+        in_tol = jnp.abs(rot_dist) <= tol
+        hold = jnp.where(in_tol, task["hold"] + 1, 0)
+        goal_reached = hold > self.num_success_hold_steps
         successes = task["successes"] + goal_reached
         reward = jnp.where(goal_reached, reward + self.reach_goal_bonus, reward)
         fell = goal_dist >= self.fall_dist
@@ -394,7 +406,7 @@ class ShadowHand(VecTask):
 
         done = fell
         if self.max_consecutive_successes > 0:
-            progress = jnp.where(goal_reached, 0, progress)
+            progress = jnp.where(in_tol, 0, progress)
             done = done | (successes >= self.max_consecutive_successes)
         done = done | (progress >= self.max_episode_length - 1)
         if self.max_consecutive_successes > 0:
@@ -406,8 +418,7 @@ class ShadowHand(VecTask):
 
         # goal-only reset: resample target rotation on success (:587-602)
         key, kg, kf, kfd = jax.random.split(task["key"], 4)
-        rg = jax.random.uniform(kg, (2,), minval=-1.0, maxval=1.0)
-        new_goal = randomize_rotation(rg[0], rg[1])
+        new_goal = self._sample_rot(kg)
         goal_rot = jnp.where(goal_reached, new_goal, goal_rot)
 
         # random force state update (decay + Poisson-style kicks, :700-712)
@@ -426,6 +437,7 @@ class ShadowHand(VecTask):
         new_task = {
             "goal_rot": goal_rot,
             "successes": successes,
+            "hold": jnp.where(goal_reached, 0, hold),
             "targets": self._recompute_targets(task, actions),
             "rb_force": rb_force,
             "force_prob": task["force_prob"],

@@ -95,6 +95,7 @@ def test_adr_ranges_evolve_through_env_steps():
     env = make(
         "AllegroHandDextremeADR", num_envs=64, adr_override=adr_cfg,
         episodeLength=3,
+        resetTime=-1,  # resetTime>0 would override episodeLength
     )
     state, _ = env.reset(jax.random.PRNGKey(0))
     hi0 = float(state.adr.hi[0])
