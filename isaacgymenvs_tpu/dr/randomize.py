@@ -133,6 +133,7 @@ class DomainRandomizer:
         actor_ranges: Optional[Dict[str, Tuple[int, int]]] = None,
         obs_dim: Optional[int] = None,
         act_dim: Optional[int] = None,
+        obs_slices=None,
     ):
         """actor_ranges: optional {actor_name: (body_lo, body_hi)} scoping
         each actor's specs to its own bodies/dofs/points (the reference
@@ -147,11 +148,25 @@ class DomainRandomizer:
         # randomizer, so resolve at sample time
         self._obs_dim = obs_dim
         self._act_dim = act_dim
-        self.obs_spec = (
-            _spec_from_dict("observations", None, params["observations"])
-            if "observations" in params
-            else None
-        )
+        self._obs_slices = obs_slices
+        self.obs_spec = None
+        self.obs_key_specs = {}
+        obs_params = params.get("observations")
+        if isinstance(obs_params, dict) and obs_params:
+            if "range" in obs_params or "operation" in obs_params:
+                self.obs_spec = _spec_from_dict(
+                    "observations", None, obs_params
+                )
+            else:
+                # per-obs-key noise dicts (reference dict-DR, e.g.
+                # AllegroHandLSTM.yaml observations.dof_pos/...): each key
+                # noises its slice of the flat obs vector, located via the
+                # task's obs_spec() {key: (offset, size)} view
+                self.obs_key_specs = {
+                    k: _spec_from_dict(f"observations.{k}", None, v)
+                    for k, v in obs_params.items()
+                    if isinstance(v, dict)
+                }
         self.act_spec = (
             _spec_from_dict("actions", None, params["actions"])
             if "actions" in params
@@ -277,10 +292,18 @@ class DomainRandomizer:
             )
         # correlated obs/action noise: one per-env draw held fixed until
         # the next re-randomization (reference range_correlated)
-        for spec, dim, name in (
+        pairs = [
             (self.obs_spec, self.obs_dim(), "observations_corr"),
             (self.act_spec, self.act_dim(), "actions_corr"),
-        ):
+        ]
+        if self.obs_key_specs:
+            slices = self._resolved_obs_slices()
+            pairs += [
+                (spec, slices[kname][1], f"observations_corr.{kname}")
+                for kname, spec in self.obs_key_specs.items()
+                if kname in slices
+            ]
+        for spec, dim, name in pairs:
             if spec is None or dim is None:
                 continue
             if spec.corr_lo == 0.0 and spec.corr_hi == 0.0:
@@ -291,6 +314,15 @@ class DomainRandomizer:
                 corr, k, (n, dim), self._sched_scale(spec, frames)
             )
         return out
+
+
+    def _resolved_obs_slices(self):
+        """{key: (offset, size)} from the task (may be a callable); keys
+        in obs_key_specs with no slice are silently inert (the task does
+        not expose that observation)."""
+        sl = self._obs_slices
+        sl = sl() if callable(sl) else sl
+        return sl or {}
 
     def obs_dim(self):
         d = self._obs_dim
@@ -308,10 +340,18 @@ class DomainRandomizer:
             out[spec.name] = jnp.full((n,) + base.shape, _identity_value(spec))
         for spec in self.scale_specs:
             out[spec.name] = jnp.ones(n)
-        for spec, dim, name in (
+        pairs = [
             (self.obs_spec, self.obs_dim(), "observations_corr"),
             (self.act_spec, self.act_dim(), "actions_corr"),
-        ):
+        ]
+        if self.obs_key_specs:
+            slices = self._resolved_obs_slices()
+            pairs += [
+                (spec, slices[kname][1], f"observations_corr.{kname}")
+                for kname, spec in self.obs_key_specs.items()
+                if kname in slices
+            ]
+        for spec, dim, name in pairs:
             if spec is None or dim is None:
                 continue
             if spec.corr_lo == 0.0 and spec.corr_hi == 0.0:
@@ -401,7 +441,29 @@ class DomainRandomizer:
 
     def observation_noise(self, key, obs, frames, dr_sample=None):
         """White + correlated obs noise (vec_task.py:397-400; correlated
-        part re-drawn at DR frequency, reference range_correlated)."""
+        part re-drawn at DR frequency, reference range_correlated). With
+        per-key specs (reference dict-DR) each key noises only its slice
+        of the flat obs vector."""
+        if self.obs_key_specs:
+            out = obs
+            for i, (kname, spec) in enumerate(
+                sorted(self.obs_key_specs.items())
+            ):
+                sl = self._resolved_obs_slices().get(kname)
+                if sl is None:
+                    continue
+                off, size = sl
+                k = jax.random.fold_in(key, i)
+                piece = self.noise(
+                    spec, k, out[..., off : off + size], frames
+                )
+                cname = f"observations_corr.{kname}"
+                if dr_sample is not None and cname in dr_sample:
+                    piece = _apply_op(
+                        piece, dr_sample[cname], spec.operation
+                    )
+                out = out.at[..., off : off + size].set(piece)
+            return out
         out = self.noise(self.obs_spec, key, obs, frames)
         if dr_sample is not None and "observations_corr" in dr_sample:
             out = _apply_op(

@@ -113,6 +113,9 @@ class VecTask:
                 actor_ranges=self.dr_actor_ranges(),
                 obs_dim=lambda: self.num_obs,
                 act_dim=lambda: self.num_acts,
+                obs_slices=lambda: (
+                    self.obs_spec() if hasattr(self, "obs_spec") else None
+                ),
             )
         # ADR (reference adr_vec_task.py:489-1250): tasks that want it set
         # an `adr:` block in the task cfg AND keep an "adr" (P,)-leaf in

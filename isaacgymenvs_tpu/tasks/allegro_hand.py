@@ -61,6 +61,20 @@ class AllegroHand(ShadowHand):
         reference's per-actor-handle property randomization)."""
         return getattr(self, "_actor_ranges", None)
 
+    def obs_spec(self):
+        """{key: (offset, size)} view of the flat no-vel obs vector using
+        the reference's dict-observation key names (per-key DR noise,
+        AllegroHandLSTM.yaml observations.dof_pos/object_pose_cam/...)."""
+        if self.obs_type not in ("no_vel", "full_no_vel"):
+            return None
+        return {
+            "dof_pos": (0, 16),
+            "object_pose_cam": (16, 7),
+            "goal_pose": (23, 7),
+            "goal_relative_rot_cam": (30, 4),
+            "last_actions": (34, 16),
+        }
+
     def build_model(self):
         env = self.cfg["env"]
         asset = env.get("asset", {}).get(

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from isaacgymenvs_tpu.dr import DomainRandomizer
 from isaacgymenvs_tpu.tasks import task_map
@@ -166,3 +167,31 @@ def test_actor_scale_randomization():
     ident = rnd.identity_sample(3)
     bm2 = rnd.batched_model(model, ident)
     assert np.allclose(np.asarray(bm2.geom_size)[:, 0], 0.1)
+
+
+@pytest.mark.slow
+def test_per_key_observation_noise():
+    """Reference dict-DR: per-obs-key noise dicts noise ONLY their slice
+    of the flat obs vector (AllegroHandLSTM.yaml observations.dof_pos/
+    object_pose_cam/... via the task's obs_spec() view)."""
+    cfg = load_config(["task=AllegroHandLSTM", "num_envs=4"])["task"]
+    # noise two keys only; the rest must come through untouched
+    cfg["task"]["randomization_params"]["observations"] = {
+        "dof_pos": {"range": [0, 0.01], "operation": "additive",
+                    "distribution": "gaussian"},
+        "goal_pose": {"range": [0, 0.01], "operation": "additive",
+                      "distribution": "gaussian"},
+    }
+    env = task_map["AllegroHand"](cfg)
+    rz = env.randomizer
+    assert set(rz.obs_key_specs) == {"dof_pos", "goal_pose"}
+    obs = jnp.zeros((4, env.num_obs))
+    out = rz.observation_noise(jax.random.PRNGKey(0), obs, 0)
+    sl = env.obs_spec()
+    o = np.asarray(out)
+    for k in ("dof_pos", "goal_pose"):
+        off, size = sl[k]
+        assert np.abs(o[:, off : off + size]).max() > 0, k
+    for k in ("object_pose_cam", "goal_relative_rot_cam", "last_actions"):
+        off, size = sl[k]
+        assert np.abs(o[:, off : off + size]).max() == 0, k
