@@ -205,6 +205,13 @@ class VecTask:
         task pytree; must return it with the same structure/shapes."""
         return task
 
+    def perturb_state(self, key, q, qd, frames, task):
+        """Optional per-env post-physics state perturbation (vmapped;
+        `frames` is the global step counter, broadcast). Used for the
+        reference's periodic robot pushes (anymal_terrain.py:437-439
+        push_robots: root xy velocity overwritten every pushInterval)."""
+        return q, qd
+
     def resample_init(self, rng, old_task):
         """Partial-reset sampler that can read the env's pre-reset task
         state -- override to persist curriculum across resets (terrain
@@ -430,6 +437,12 @@ class VecTask:
             control_loop, (q0, qd0), None, length=self.control_freq_inv
         )
         sensors = jax.tree.map(lambda x: x[-1], sensor_hist)
+
+        if type(self).perturb_state is not VecTask.perturb_state:
+            key, kps = jax.random.split(key)
+            q, qd = jax.vmap(
+                self.perturb_state, in_axes=(0, 0, 0, None, 0)
+            )(jax.random.split(kps, n), q, qd, frames, state.task)
 
         # 2. bookkeeping
         progress = state.progress + 1

@@ -45,6 +45,7 @@ class AnymalTerrain(Anymal):
             "termination": float(learn.get("terminalReward", 0.0)),
         }
         self.allow_knee_contacts = bool(learn.get("allowKneeContacts", True))
+        self.push_robots = bool(learn.get("pushRobots", True))
         self.push_interval = int(
             float(learn.get("pushInterval_s", 15.0))
             / (float(cfg.get("sim", {}).get("dt", 0.005))
@@ -54,6 +55,11 @@ class AnymalTerrain(Anymal):
         env.setdefault(
             "controlFrequencyInv", int(env.get("control", {}).get("decimation", 4))
         )
+        # additive observation noise vector + static surface-friction draw
+        # (reference _get_noise_scale_vec :174 and the per-actor friction
+        # sample at creation): expressed as per-obs-key + setup-only DR
+        # specs so the jitted DR path applies them
+        self._inject_learn_noise(cfg, learn)
         super().__init__(cfg)
         self.num_obs = 188
 
@@ -89,6 +95,77 @@ class AnymalTerrain(Anymal):
         self.max_episode_length_s = float(
             self.cfg["env"].get("learn", {}).get("episodeLength_s", 20.0)
         )
+
+
+    def _inject_learn_noise(self, cfg, learn):
+        task_cfg = cfg.get("task") or {}
+        params = task_cfg.get("randomization_params") or {}
+        if learn.get("addNoise", True):
+            nl = float(learn.get("noiseLevel", 1.0))
+            lin = float(learn.get("linearVelocityScale", 2.0))
+            ang = float(learn.get("angularVelocityScale", 0.25))
+            dpos = float(learn.get("dofPositionScale", 1.0))
+            dvel = float(learn.get("dofVelocityScale", 0.05))
+            hms = float(learn.get("heightMeasurementScale", 5.0))
+            svec = {
+                "base_lin_vel": nl * float(learn.get("linearVelocityNoise", 0.1)) * lin,
+                "base_ang_vel": nl * float(learn.get("angularVelocityNoise", 0.2)) * ang,
+                "gravity": nl * float(learn.get("gravityNoise", 0.05)),
+                "dof_pos": nl * float(learn.get("dofPositionNoise", 0.01)) * dpos,
+                "dof_vel": nl * float(learn.get("dofVelocityNoise", 1.5)) * dvel,
+                "heights": nl * float(learn.get("heightMeasurementNoise", 0.06)) * hms,
+            }
+            obs = dict(params.get("observations") or {})
+            for k, sc in svec.items():
+                if sc != 0.0:
+                    # reference noise: (2*U-1) * scale -> uniform [-s, s]
+                    obs.setdefault(k, {
+                        "range": [-sc, sc],
+                        "operation": "additive",
+                        "distribution": "uniform",
+                    })
+            params["observations"] = obs
+        if learn.get("randomizeFriction", True):
+            lo, hi = learn.get("frictionRange", [0.5, 1.25])
+            ap = params.setdefault("actor_params", {})
+            an = ap.setdefault("anymal", {})
+            rs = an.setdefault("rigid_shape_properties", {})
+            # base contact friction is 1.0, so a scaling draw over the
+            # range equals the reference's absolute assignment
+            rs.setdefault("friction", {
+                "range": [float(lo), float(hi)],
+                "operation": "scaling",
+                "distribution": "uniform",
+                "setup_only": True,
+            })
+        if params:
+            task_cfg["randomization_params"] = params
+            task_cfg["randomize"] = True
+            cfg["task"] = task_cfg
+
+    def obs_spec(self):
+        """{key: (offset, size)} slices of the 188-dim obs vector (used
+        by the per-key DR observation noise)."""
+        return {
+            "base_lin_vel": (0, 3),
+            "base_ang_vel": (3, 3),
+            "gravity": (6, 3),
+            "commands": (9, 3),
+            "dof_pos": (12, 12),
+            "dof_vel": (24, 12),
+            "heights": (36, self.num_height_points),
+            "actions": (36 + self.num_height_points, 12),
+        }
+
+    def perturb_state(self, key, q, qd, frames, task):
+        """Random robot pushes: overwrite base xy velocity with U[-1,1]
+        every pushInterval sim steps (reference push_robots :437-439)."""
+        if not self.push_robots or self.push_interval <= 0:
+            return q, qd
+        push = (frames > 0) & (frames % self.push_interval == 0)
+        v = jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+        qd = qd.at[0:2].set(jnp.where(push, v, qd[0:2]))
+        return q, qd
 
     # ---- init / reset with terrain curriculum -------------------------
     def sample_init(self, rng, level=None, ttype=None):

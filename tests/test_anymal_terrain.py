@@ -59,3 +59,29 @@ def test_level_promotion_and_demotion_across_episodes():
     assert (lvl_after <= lvl0).all(), (lvl0, lvl_after)
     # the curriculum stat is surfaced for logging
     assert "terrain_level" in ex
+
+
+@pytest.mark.slow
+def test_push_robots_overwrites_base_velocity():
+    """Every pushInterval global steps the base xy velocity is replaced
+    with a U[-1,1] draw (reference push_robots anymal_terrain.py:437-439)."""
+    cfg = load_config(["task=AnymalTerrain", "num_envs=4"])["task"]
+    cfg["env"]["learn"]["pushInterval_s"] = (
+        3 * cfg["sim"]["dt"] * 4  # push every 3rd env step (decimation 4)
+    )
+    env = task_map["AnymalTerrain"](cfg)
+    assert env.push_interval == 3
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    a = jnp.zeros((4, env.num_acts))
+    seen_push = False
+    for i in range(1, 8):
+        prev_qd = np.asarray(state.sim.qd[:, 0:2])
+        state, obs, rew, done, ex = step(state, a)
+        cur = np.asarray(state.sim.qd[:, 0:2])
+        if int(np.asarray(state.frames)) % 3 == 0:
+            # pushed this step: base xy velocity is a fresh U[-1,1] draw,
+            # uncorrelated with physics -- check it is inside [-1,1]
+            assert (np.abs(cur) <= 1.0 + 1e-6).all()
+            seen_push = True
+    assert seen_push
