@@ -205,6 +205,12 @@ class VecTask:
         task pytree; must return it with the same structure/shapes."""
         return task
 
+    # tasks that need the global frame counter inside per-env hooks set
+    # this True: the step injects task["_frames"] (a per-env broadcast of
+    # EnvState.frames) into the task dict passed to compute_force /
+    # observe / reward_done (it is NOT stored back into EnvState.task)
+    frames_in_task = False
+
     def perturb_state(self, key, q, qd, frames, task):
         """Optional per-env post-physics state perturbation (vmapped;
         `frames` is the global step counter, broadcast). Used for the
@@ -395,14 +401,21 @@ class VecTask:
             )
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
+        task_in = state.task
+        if self.frames_in_task:
+            task_in = {
+                **state.task,
+                "_frames": jnp.full((n,), frames, jnp.int32),
+            }
+
         # 1. apply actions + physics
         q0, qd0 = state.sim.q, state.sim.qd
         if self.use_pd_targets:
             qfrc, xfrc, q_target = jax.vmap(self.compute_force)(
-                actions, q0, qd0, state.task
+                actions, q0, qd0, task_in
             )
         else:
-            qfrc, xfrc = jax.vmap(self.compute_force)(actions, q0, qd0, state.task)
+            qfrc, xfrc = jax.vmap(self.compute_force)(actions, q0, qd0, task_in)
             q_target = None
 
         model_b, params_b, model_axes, params_axes = self._physics_vmap_spec(
@@ -442,7 +455,7 @@ class VecTask:
             key, kps = jax.random.split(key)
             q, qd = jax.vmap(
                 self.perturb_state, in_axes=(0, 0, 0, None, 0)
-            )(jax.random.split(kps, n), q, qd, frames, state.task)
+            )(jax.random.split(kps, n), q, qd, frames, task_in)
 
         # 2. bookkeeping
         progress = state.progress + 1
@@ -509,6 +522,8 @@ class VecTask:
         frames = frames + 1
 
         # 4. observe on the post-reset state
+        if self.frames_in_task:
+            task = {**task, "_frames": jnp.full((n,), frames, jnp.int32)}
         kin = jax.vmap(lambda qq, qv: _dyn.forward_kinematics(self.model, qq, qv))(q, qd)
         obs = jax.vmap(self.observe)(q, qd, kin, sensors, task, actions, progress)
         if self.randomizer is not None:
@@ -529,6 +544,8 @@ class VecTask:
         reward, done, task = jax.vmap(self.reward_done)(
             obs, q, qd, kin, sensors, task, actions, progress
         )
+        if self.frames_in_task and isinstance(task, dict):
+            task.pop("_frames", None)  # hook-only view, not env state
 
         # 5b. population-level curricula on the full batch (SBC etc.)
         if type(self).population_update is not VecTask.population_update:

@@ -43,8 +43,24 @@ class AllegroHandDextremeADR(AllegroHand):
     """ADR variant: corruption magnitudes evolve with boundary-worker
     performance (EnvState.adr; runtime in envcore/vec_task.py)."""
 
+    frames_in_task = True  # the EMA anneal needs the global frame count
+
     def __init__(self, cfg):
         env = cfg["env"]
+        # actionsMovingAverage may be the reference's annealed-schedule
+        # dict {range: [lo, up], schedule_steps, schedule_freq}: the EMA
+        # coefficient anneals upper -> lower over schedule_steps frames
+        # (allegro_hand_dextreme.py:898-909; freq only quantizes updates)
+        ma = env.get("actionsMovingAverage", 1.0)
+        if isinstance(ma, dict):
+            rng_ = ma.get("range", [0.15, 0.2])
+            self._ma_lower = float(rng_[0])
+            self._ma_upper = float(rng_[1])
+            self._ma_steps = float(ma.get("schedule_steps", 1.0))
+            env["actionsMovingAverage"] = self._ma_upper
+        else:
+            self._ma_lower = self._ma_upper = float(ma)
+            self._ma_steps = 1.0
         env.setdefault("observationType", "no_vel")
         env.setdefault("asymmetric_observations", True)
         env.setdefault("maxConsecutiveSuccesses", 50)
@@ -72,6 +88,13 @@ class AllegroHandDextremeADR(AllegroHand):
             in_dim=23, num_actions=16,
             seed=int(self.cfg.get("seed", 0) or 0),
         )
+
+    def _act_ma(self, task):
+        t = task.get("_frames")
+        if t is None or self._ma_lower == self._ma_upper:
+            return self.act_moving_average
+        frac = jnp.minimum(t.astype(jnp.float32) / self._ma_steps, 1.0)
+        return self._ma_upper + (self._ma_lower - self._ma_upper) * frac
 
     def _sample_rot(self, key):
         # uniform random quaternion (reference get_random_quat via

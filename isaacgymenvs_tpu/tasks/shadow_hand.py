@@ -262,10 +262,8 @@ class ShadowHand(VecTask):
             cur = jnp.clip(targets, lo, hi)
         else:
             cur = maths.scale(action, lo, hi)
-            cur = (
-                self.act_moving_average * cur
-                + (1.0 - self.act_moving_average) * prev[act_idx]
-            )
+            av = self._act_ma(task)
+            cur = av * cur + (1.0 - av) * prev[act_idx]
             cur = jnp.clip(cur, lo, hi)
         full = prev.at[act_idx].set(cur)
         q_target = jnp.zeros(m.nq).at[self.hand_q_idx].set(full)
@@ -450,6 +448,11 @@ class ShadowHand(VecTask):
         shadow_hand.py:426-435 success-stat printer + av_factor track)."""
         return {"consecutive_successes": task["successes"]}
 
+    def _act_ma(self, task):
+        """EMA coefficient for target smoothing; DeXtreme overrides with
+        the annealed schedule (allegro_hand_dextreme.py:898-909)."""
+        return self.act_moving_average
+
     def _recompute_targets(self, task, action):
         prev = task["targets"]
         act_idx = self.actuated_idx
@@ -461,10 +464,8 @@ class ShadowHand(VecTask):
             )
         else:
             cur = maths.scale(action, lo, hi)
-            cur = (
-                self.act_moving_average * cur
-                + (1.0 - self.act_moving_average) * prev[act_idx]
-            )
+            av = self._act_ma(task)
+            cur = av * cur + (1.0 - av) * prev[act_idx]
             cur = jnp.clip(cur, lo, hi)
         return prev.at[act_idx].set(cur)
 
