@@ -36,7 +36,7 @@ from .. import maths
 from ..utils.rna import RandomNetworkAdversary
 from .allegro_hand import AllegroHand
 
-ACT_HIST = 8  # action-latency queue depth (latency clamped to this)
+ACT_HIST = 16  # action-latency queue depth (covers actionLatencyMax=15)
 
 
 class AllegroHandDextremeADR(AllegroHand):
@@ -88,6 +88,13 @@ class AllegroHandDextremeADR(AllegroHand):
             in_dim=23, num_actions=16,
             seed=int(self.cfg.get("seed", 0) or 0),
         )
+
+    def _latency_cap(self, task):
+        """Upper clamp on the per-step latency draw. The ADR variant is
+        bounded only by the queue; ManualDR anneals the cap 0 ->
+        actionLatencyMax over actionLatencyScheduledSteps (reference
+        apply_action_noise_latency :1564-1576)."""
+        return ACT_HIST - 1
 
     def _act_ma(self, task):
         t = task.get("_frames")
@@ -145,7 +152,7 @@ class AllegroHandDextremeADR(AllegroHand):
         lat = lat + jax.random.bernoulli(
             ke, jnp.clip(self._a(task, "action_delay_prob"), 0.0, 1.0)
         ).astype(jnp.int32)
-        lat = jnp.clip(lat, 0, ACT_HIST - 1)
+        lat = jnp.clip(lat, 0, self._latency_cap(task))
         hist = task["act_hist"]  # hist[0] = a_{t-1}
         stream = jnp.concatenate([action[None], hist[:-1]], axis=0)
         a = stream[lat]
@@ -270,7 +277,21 @@ class AllegroHandDextremeManualDR(AllegroHandDextremeADR):
     FIXED magnitudes (midpoints of the cfg init ranges) -- no range
     evolution, no boundary workers."""
 
+    def _latency_cap(self, task):
+        t = task.get("_frames")
+        if t is None or self._lat_sched <= 0:
+            return ACT_HIST - 1
+        cur = jnp.floor(
+            self._lat_max
+            * jnp.minimum(t.astype(jnp.float32) / self._lat_sched, 1.0)
+        ).astype(jnp.int32)
+        return jnp.minimum(cur, ACT_HIST - 1)
+
     def __init__(self, cfg):
+        self._lat_max = float(cfg["env"].get("actionLatencyMax", 15))
+        self._lat_sched = float(
+            cfg["env"].get("actionLatencyScheduledSteps", 10_000_000)
+        )
         adr_cfg = cfg["env"].get("adr") or cfg.get("adr") or {}
         adr_cfg["use_adr"] = True  # reuse the sampler machinery
         adr_cfg["update_adr_ranges"] = False

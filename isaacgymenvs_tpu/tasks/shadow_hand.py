@@ -70,6 +70,14 @@ class ShadowHand(VecTask):
         self.force_decay_interval = float(env.get("forceDecayInterval", 0.08))
         self.dof_speed_scale = float(env.get("dofSpeedScale", 20.0))
         self.use_relative_control = bool(env.get("useRelativeControl", False))
+        # capped-dof-velocity target mode (reference dextreme
+        # apply_actions use_capped_dof_control branch)
+        self.use_capped_dof_control = bool(
+            env.get("use_capped_dof_control", False)
+        )
+        self.max_dof_radians_per_second = float(
+            env.get("max_dof_radians_per_second", 2.0 * np.pi)
+        )
         self.act_moving_average = float(env.get("actionsMovingAverage", 1.0))
         self.max_consecutive_successes = int(env.get("maxConsecutiveSuccesses", 0))
         # resetTime (seconds) > 0 overwrites episodeLength (reference
@@ -462,6 +470,16 @@ class ShadowHand(VecTask):
             cur = jnp.clip(
                 prev[act_idx] + self.dof_speed_scale * self.dt * action, lo, hi
             )
+        elif self.use_capped_dof_control:
+            # cap the per-step target delta at max_dof_radians_per_second
+            tgt = maths.scale(action, lo, hi)
+            max_d = (
+                self.max_dof_radians_per_second
+                * self.dt
+                * self.control_freq_inv
+            )
+            delta = jnp.clip(tgt - prev[act_idx], -max_d, max_d)
+            cur = jnp.clip(prev[act_idx] + delta, lo, hi)
         else:
             cur = maths.scale(action, lo, hi)
             av = self._act_ma(task)
