@@ -144,3 +144,51 @@ def test_obs_spec_matches_flat_layout():
         "goal_relative_rot_cam_randomized",
         "last_actions",
     ]
+
+
+def test_annealed_action_ema_and_latency_cap():
+    """actionsMovingAverage dict anneals upper->lower over schedule_steps;
+    ManualDR's latency cap ramps 0 -> actionLatencyMax (reference
+    allegro_hand_dextreme.py:898-909, :1564-1576)."""
+    env = make("AllegroHandDextremeManualDR", num_envs=2)
+    assert env._ma_upper > env._ma_lower  # cfg dict parsed
+    t0 = {"_frames": jnp.asarray(0, jnp.int32)}
+    t_mid = {"_frames": jnp.asarray(int(env._ma_steps // 2), jnp.int32)}
+    t_end = {"_frames": jnp.asarray(int(env._ma_steps * 2), jnp.int32)}
+    a0 = float(env._act_ma(t0))
+    am = float(env._act_ma(t_mid))
+    ae = float(env._act_ma(t_end))
+    assert a0 == pytest.approx(env._ma_upper)
+    assert ae == pytest.approx(env._ma_lower)
+    assert ae < am < a0
+    # latency cap ramp
+    c0 = int(env._latency_cap({"_frames": jnp.asarray(0, jnp.int32)}))
+    cend = int(env._latency_cap(
+        {"_frames": jnp.asarray(int(env._lat_sched * 2), jnp.int32)}
+    ))
+    assert c0 == 0
+    assert cend == min(int(env._lat_max), 15)
+
+
+def test_capped_dof_control_limits_target_rate():
+    """use_capped_dof_control clamps the per-step PD-target delta at
+    max_dof_radians_per_second * dt * control_freq_inv (reference
+    apply_actions capped branch)."""
+    env = make(
+        "AllegroHandDextremeManualDR", num_envs=2,
+        use_capped_dof_control=True, max_dof_radians_per_second=0.5,
+    )
+    assert env.use_capped_dof_control
+    act_idx = np.asarray(env.actuated_idx)
+    mid = 0.5 * (env.dof_lower + env.dof_upper)[jnp.asarray(act_idx)]
+    prev = jnp.zeros(env.model.nv).at[jnp.asarray(act_idx)].set(mid)
+    # full-scale action: without the cap the target would jump to the
+    # joint limit; with it the move from a feasible target is <= max_d
+    tgt = env._recompute_targets(
+        {"targets": prev, "_frames": jnp.asarray(0)},
+        jnp.ones(env.num_acts),
+    )
+    max_d = 0.5 * env.dt * env.control_freq_inv
+    delta = np.abs(np.asarray(tgt - prev)[act_idx])
+    assert (delta <= max_d + 1e-6).all()
+    assert delta.max() > 0  # it does move toward the commanded target
