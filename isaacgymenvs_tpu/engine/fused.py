@@ -46,7 +46,14 @@ from ..model.spec import FIXED, FREE, HINGE, SLIDE, Model
 from . import dynamics as _dyn
 from .dynamics import SimParams
 
-TILE = 128  # envs per kernel instance (lane width)
+TILE = 128  # envs per kernel instance (lane width; Mosaic lane minimum)
+
+# VMEM budget for the per-tile solver residents (Delassus rows3^2 +
+# contact jacobian 3*nv*rows3 + Minv/M 3*nv^2, f32, 128 lanes). Real VMEM
+# is ~16 MiB/core; leave headroom for FK intermediates + in/out blocks.
+# Humanoid (rows3=105, nv=27) = 10.6 MiB is the largest shipped model on
+# the fused path; ShadowHand-class (~80 contact rows -> 28 MiB) falls back.
+_VMEM_BUDGET_BYTES = 12 * 2**20
 
 
 class FusedOut(NamedTuple):
@@ -68,8 +75,14 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         for g in model.ppair_geom
     )
     cap = params.max_active_contacts
+    rows3 = 3 * (n_plane + npp)
+    nv = model.nv
+    resident_bytes = (
+        (rows3 * rows3 + 3 * nv * rows3 + 3 * nv * nv) * TILE * 4
+    )
     return (
         terrain is None
+        and resident_bytes <= _VMEM_BUDGET_BYTES
         and params.solver == "apgd"
         and not model.pair_geom_a
         and not model.spair_point
@@ -971,17 +984,12 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
     run = _step_math(s, params, has_xfrc, has_qt)
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    # env-lane tile: shrink below 128 lanes when the VMEM residents (the
-    # Delassus operator + contact jacobian + Minv) would blow the budget
-    # (hand-object models carry ~80 contact rows -> A alone is
-    # (240, 240, T) f32)
-    rows3 = 3 * (s.nc + s.pp_nc)
+    # env-lane tile is FIXED at 128: Mosaic requires lane-axis blocks be a
+    # multiple of 128 (or the full array dim), so a VMEM-pressed model
+    # cannot shrink lanes -- models whose residents (Delassus + contact
+    # jacobian + Minv) exceed _VMEM_BUDGET are rejected by fused_supported
+    # and take the vmap engine instead.
     tile = TILE
-    budget_elems = (10 * 2**20) // 4
-    while tile > 8 and (
-        rows3 * rows3 + 3 * s.nv * rows3 + 3 * s.nv * s.nv
-    ) * tile > budget_elems:
-        tile //= 2
     Np = ((N + tile - 1) // tile) * tile
     grid = Np // tile
     nb3 = s.nbody * 3

@@ -15,12 +15,11 @@ TPU-native design notes (divergences, all documented in README):
     the corrupted ("_randomized") observation vector, the asymmetric
     CRITIC sees the clean full state -- the same information split,
     without a dict-obs pipeline;
-  * ADR here drives the tensorized corruption stack (latency, affine
-    noise, camera sim, RNA alpha). The reference additionally routes
-    physics-property params through the dict-DR path (`range_path:`);
-    ours uses the static DR schema for those (task cfg
-    `randomization_params`), which composes with ADR but is not yet
-    range-evolved;
+  * ADR drives both the tensorized corruption stack (latency, affine
+    noise, camera sim, RNA alpha) and, like the reference, routes
+    physics-property params into the dict-DR engine via `range_path:`
+    (dr/adr.py: evolving ranges override the matching static DR spec's
+    range per step);
   * affine corruption: the reference samples per-episode additive biases
     and per-step white noise scaled by ADR stdevs; identical here, with
     unit draws stored at reset and scaled at use time so fresh ADR

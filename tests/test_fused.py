@@ -186,3 +186,32 @@ def test_fused_matches_vmap_allegro_kuka():
     env = task_map["AllegroKukaReorientation"](cfg)
     assert fused.fused_supported(env.model, env.sim_params, env.terrain)
     _compare(env, steps=2, qfrc_scale=0.05, tol=5e-4)
+
+
+def _yaml_env(name, n=4):
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config([f"task={name}", f"num_envs={n}", "headless=True"])
+    return task_map[name](cfg["task"])
+
+
+def test_fused_matches_vmap_trifinger():
+    # real yaml operating point (fingertip-vs-cube pair contacts, uncapped
+    # rows): the third distinct topology after Ant/Humanoid
+    env = _yaml_env("Trifinger")
+    assert fused.fused_supported(env.model, env.sim_params, env.terrain)
+    # moderate torques + AllegroKuka-class tolerance: under extreme random
+    # torques the APGD iterate (identical algorithm, different op order)
+    # has not converged and the two paths round differently
+    _compare(env, steps=2, qfrc_scale=0.05, tol=5e-4)
+
+
+def test_yaml_configs_fused_eligible():
+    """The shipped task yamls for the fused-covered flagships must stay
+    eligible for the whole-step kernel -- a regressed cap or feature flag
+    here silently drops TPU training back to the vmap path."""
+    for name in ["Ant", "Humanoid", "Trifinger"]:
+        env = _yaml_env(name)
+        assert fused.fused_supported(
+            env.model, env.sim_params, env.terrain
+        ), name
