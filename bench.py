@@ -31,6 +31,10 @@ TABLE = {
     "Ant": 4096,
     "Humanoid": 4096,
     "ShadowHand": 16384,
+    "AllegroHand": 16384,
+    "Anymal": 4096,
+    "FrankaCubeStack": 8192,
+    "HumanoidAMP": 4096,
 }
 
 

@@ -27,9 +27,12 @@ cfg/task/Ant.yaml:43-53) -- the "hot inner loops as Pallas kernels" item of
 SURVEY.md section 7.
 
 Supported feature set (see `fused_supported`): plane contacts from
-candidate points, scalar/free/fixed joints, tendons, implicit PD drives,
-external body wrenches, joint limits.  Pair contacts / terrain / bilateral
-anchors / per-env model leaves (DR) fall back to the vmap engine.
+candidate points, point-vs-geom pair contacts (sphere/box), top-K
+active-set selection (max_active_contacts, matching the vmap engine's
+predicted-depth lax.top_k rule), scalar/free/fixed joints, tendons,
+implicit PD drives, external body wrenches, joint limits.  Geom-geom /
+SDF pairs, terrain, bilateral anchors, restitution and per-env model
+leaves (DR) fall back to the vmap engine.
 """
 from __future__ import annotations
 
@@ -53,7 +56,7 @@ TILE = 128  # envs per kernel instance (lane width; Mosaic lane minimum)
 # is ~16 MiB/core; leave headroom for FK intermediates + in/out blocks.
 # Humanoid (rows3=105, nv=27) = 10.6 MiB is the largest shipped model on
 # the fused path; ShadowHand-class (~80 contact rows -> 28 MiB) falls back.
-_VMEM_BUDGET_BYTES = 12 * 2**20
+_VMEM_BUDGET_BYTES = 14 * 2**20
 
 
 class FusedOut(NamedTuple):
@@ -75,10 +78,19 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         for g in model.ppair_geom
     )
     cap = params.max_active_contacts
-    rows3 = 3 * (n_plane + npp)
+    nct = n_plane + npp
     nv = model.nv
+    if cap and cap < nct:
+        # top-K path: the Delassus system shrinks to 3*cap rows; the full
+        # contact jacobian plus the rank/one-hot selection masks stay
+        # resident alongside it
+        rows3 = 3 * cap
+        sel_rows = nv * 3 * nct + cap * nct + 32 * nct + 6 * nct
+    else:
+        rows3 = 3 * nct
+        sel_rows = 0
     resident_bytes = (
-        (rows3 * rows3 + 3 * nv * rows3 + 3 * nv * nv) * TILE * 4
+        (rows3 * rows3 + 3 * nv * rows3 + 3 * nv * nv + sel_rows) * TILE * 4
     )
     return (
         terrain is None
@@ -88,10 +100,6 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         and not model.spair_point
         and not model.att_body
         and pp_types_ok
-        # the fused solver has no top-K active-set: every candidate row
-        # enters the Delassus system, so a cap below the candidate count
-        # would diverge from the vmap engine
-        and (cap == 0 or cap >= n_plane + npp)
         # restitution not yet in the fused math (dof friction IS)
         and (
             model.cpoint_restitution is None
@@ -241,6 +249,12 @@ def _extract(model: Model) -> _Spec:
     if npp:
         pts = np.asarray(model.ppair_point)
         geoms = np.asarray(model.ppair_geom)
+        # match contacts.constraint_data's row order (grouped by unique
+        # geom, stable within a group): under top-K selection, exact-tie
+        # rows (e.g. 4 cube corners at identical phi) break by row index,
+        # so the fused and vmap engines must index rows identically
+        order = np.argsort(geoms, kind="stable")
+        pts, geoms = pts[order], geoms[order]
         pa = np.asarray(model.cpoint_body)[pts]
         pb = np.asarray(model.geom_body)[geoms]
         pp_pos = g(model.cpoint_pos)[pts]
@@ -806,36 +820,130 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             ],
             axis=1,
         )  # (nv, 3*nct, T), comp-major rows
+        mu_full = jnp.asarray(
+            np.concatenate([s.cp_mu, s.pp_mu]).astype(np.float32)[:, None]
+        )
+
+        # ---- top-K active set (contacts.solve_contacts cap semantics):
+        # only the cap most-penetrating candidates (PREDICTED depth
+        # phi - min(v_n,0)*h, ties to the lower index, exactly lax.top_k's
+        # order) enter the Delassus system. Selection is expressed as a
+        # rank computation + one-hot masked gathers -- Mosaic has no
+        # lane-varying gather, but rank/gather are small VPU reductions
+        # and they shrink the dominant residents from (3nct)^2 to
+        # (3cap)^2, which is what lets ShadowHand-class models (78+ rows)
+        # run fused at all. Row order inside the system is irrelevant
+        # (projection is per-contact, preconditioner/Lipschitz are
+        # row-permutation invariant), so slot = rank.
+        cap = p.max_active_contacts
+        use_topk = bool(cap) and cap < nct
+        if use_topk:
+            vn_free = jnp.sum(
+                J[:, 2 * nct:, :] * qd_free[:, None, :], axis=0
+            )  # (nct, T)
+            key_r = phi - jnp.minimum(vn_free, 0.0) * h
+            key_r = jnp.where(active > 0, key_r, -1e30)
+            # rank_i = #{j beating i}; j-chunked to bound the 3-D temp
+            # (all-int32 iota/rank: Mosaic's tpu.iota is integer-only)
+            rank = jnp.zeros(key_r.shape, jnp.int32)
+            chunk = 32
+            for j0 in range(0, nct, chunk):
+                jc = min(chunk, nct - j0)
+                kj = key_r[j0:j0 + jc][None, :, :]
+                ki = key_r[:, None, :]
+                ii = jax.lax.broadcasted_iota(jnp.int32, (nct, jc, T), 0)
+                jj = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nct, jc, T), 1)
+                    + j0
+                )
+                beats = (kj > ki) | ((kj == ki) & (jj < ii))
+                rank = rank + jnp.sum(beats.astype(jnp.int32), axis=1)
+            # per-slot 2-D masks (a single (cap, nct, T) one-hot trips
+            # Mosaic relayout); each is (nct, T)
+            onehot = [
+                (rank == k).astype(jnp.float32) for k in range(cap)
+            ]
+
+            def gat(x):  # (nct, T)/(nct, 1) rows -> (cap, T)
+                return jnp.concatenate(
+                    [
+                        jnp.sum(onehot[k] * x, axis=0, keepdims=True)
+                        for k in range(cap)
+                    ],
+                    0,
+                )
+
+            def gatJ(B):  # (nv, nct, T) -> (nv, cap, T), k-loop: no 4-D temp
+                cols = [
+                    jnp.sum(
+                        B * onehot[k][None, :, :], axis=1, keepdims=True
+                    )
+                    for k in range(cap)
+                ]
+                return jnp.concatenate(cols, axis=1)
+
+            J_eff = jnp.concatenate(
+                [
+                    gatJ(J[:, :nct]),
+                    gatJ(J[:, nct:2 * nct]),
+                    gatJ(J[:, 2 * nct:]),
+                ],
+                axis=1,
+            )
+            phi_e = gat(phi)
+            active_e = gat(active)
+            mu_e = gat(mu_full)
+            # first substep: no warm impulses yet -- build zeros at the
+            # selected size instead of gathering a splat-zero tensor
+            # (Mosaic cannot relayout fully-replicated vectors through
+            # the masked gather/scatter chain)
+            warm_e = (
+                jnp.zeros((3 * cap, T))
+                if warm is None
+                else jnp.concatenate(
+                    [
+                        gat(warm[:nct]),
+                        gat(warm[nct:2 * nct]),
+                        gat(warm[2 * nct:]),
+                    ],
+                    0,
+                )
+            )
+            nce = cap
+        else:
+            J_eff, phi_e, active_e = J, phi, active
+            mu_e, nce = mu_full, nct
+            warm_e = jnp.zeros((3 * nct, T)) if warm is None else warm
 
         # Delassus A = J^T Minv J  (formed once, VMEM-resident)
         W = sum(
-            Minv[:, j:j + 1, :] * J[j][None, :, :] for j in range(s.nv)
-        )  # (nv, 3nc, T) = Minv @ J
-        A = sum(J[v][:, None, :] * W[v][None, :, :] for v in range(s.nv))
+            Minv[:, j:j + 1, :] * J_eff[j][None, :, :] for j in range(s.nv)
+        )  # (nv, 3nce, T) = Minv @ J
+        A = sum(J_eff[v][:, None, :] * W[v][None, :, :] for v in range(s.nv))
         # (the 1e-6 diagonal regularization is folded into the APGD
         # matvec below -- materializing eye(3nc) lane-tiled wastes VMEM)
 
-        b_vec = jnp.sum(J * qd_free[:, None, :], axis=0)  # (3nct, T)
+        b_vec = jnp.sum(J_eff * qd_free[:, None, :], axis=0)  # (3nce, T)
         # separated rows allow approach at gap/h (see contacts.py note)
         vn_t = jnp.where(
-            phi > 0,
-            jnp.minimum(erp * phi / h, p.max_depenetration_velocity),
-            phi / h,
+            phi_e > 0,
+            jnp.minimum(erp * phi_e / h, p.max_depenetration_velocity),
+            phi_e / h,
         )
         b_vec = jnp.concatenate(
-            [b_vec[: 2 * nct], b_vec[2 * nct:] - vn_t], 0
+            [b_vec[: 2 * nce], b_vec[2 * nce:] - vn_t], 0
         )
 
         # Per-contact Jacobi preconditioning, mirroring contacts.py
         # _solve_apgd exactly (the equivalence tests compare trajectories
         # at fixed iteration count): scale each contact's 3 rows by
         # 1/sqrt(mean block diagonal of the regularized Delassus).
-        diagA = jnp.sum(J * W, axis=0)  # (3nct, T) diag of J^T Minv J
+        diagA = jnp.sum(J_eff * W, axis=0)  # (3nce, T) diag of J^T Minv J
         d_c = (
-            diagA[: nct] + diagA[nct:2 * nct] + diagA[2 * nct:]
+            diagA[: nce] + diagA[nce:2 * nce] + diagA[2 * nce:]
         ) / 3.0 + 1e-6
-        s_c = jax.lax.rsqrt(jnp.maximum(d_c, 1e-12))  # (nct, T)
-        s3 = jnp.concatenate([s_c, s_c, s_c], 0)  # (3nct, T)
+        s_c = jax.lax.rsqrt(jnp.maximum(d_c, 1e-12))  # (nce, T)
+        s3 = jnp.concatenate([s_c, s_c, s_c], 0)  # (3nce, T)
         s3sq = s3 * s3
         A = A * s3[:, None, :] * s3[None, :, :]
         b_vec = b_vec * s3
@@ -846,18 +954,15 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             jnp.sum(jnp.abs(A), axis=1) + 1e-6 * s3sq, axis=0, keepdims=True
         )
         step = 1.0 / jnp.maximum(Lip, 1e-8)
-        mu = jnp.asarray(
-            np.concatenate([s.cp_mu, s.pp_mu]).astype(np.float32)[:, None]
-        )
 
         def project(y):
-            ln = jnp.maximum(y[2 * nct:], 0.0)
-            t1_, t2_ = y[: nct], y[nct:2 * nct]
+            ln = jnp.maximum(y[2 * nce:], 0.0)
+            t1_, t2_ = y[: nce], y[nce:2 * nce]
             tn = jnp.sqrt(t1_ * t1_ + t2_ * t2_ + 1e-12)
-            sc = jnp.minimum(1.0, mu * ln / tn) * active
-            return jnp.concatenate([t1_ * sc, t2_ * sc, ln * active], 0)
+            sc = jnp.minimum(1.0, mu_e * ln / tn) * active_e
+            return jnp.concatenate([t1_ * sc, t2_ * sc, ln * active_e], 0)
 
-        lam = project(warm / s3)  # into scaled variables
+        lam = project(warm_e / s3)  # into scaled variables
         y = lam
         for beta in betas:
             g_vec = jnp.sum(A * y[None, :, :], axis=1) + 1e-6 * s3sq * y + b_vec
@@ -866,7 +971,21 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             lam = lam_new
         lam = lam * s3  # back to physical impulses
 
-        qfrc_con = jnp.sum(J * lam[None, :, :], axis=1)  # (nv, T)
+        qfrc_con = jnp.sum(J_eff * lam[None, :, :], axis=1)  # (nv, T)
+        if use_topk:
+            # scatter impulses back to full rows (zeros off the active
+            # set, matching the vmap path's zeros().at[sel].set(lam)):
+            # warm-start and sensor accumulation live in full row space
+            def sct(lb):  # (cap, T) -> (nct, T)
+                acc = onehot[0] * lb[0:1]
+                for k in range(1, cap):
+                    acc = acc + onehot[k] * lb[k:k + 1]
+                return acc
+
+            lam = jnp.concatenate(
+                [sct(lam[:cap]), sct(lam[cap:2 * cap]), sct(lam[2 * cap:])],
+                0,
+            )
         dqd = jnp.sum(Minv * qfrc_con[None, :, :], axis=1)
         qd_new = jnp.clip(
             qd_free + dqd, -p.max_dof_velocity, p.max_dof_velocity
@@ -922,10 +1041,13 @@ def _integrate(s: _Spec, q, qd_new, h):
         dq = _qexp(omega)
         quat = _qnormalize([q[qa + 3 + k][None] for k in range(4)])
         qn = _qnormalize(_qmul(dq, quat))
-        # static-slice row replacement via concat (Mosaic: no scatter)
-        q_new = jnp.concatenate(
-            [q_new[: qa + 3], jnp.concatenate(qn, 0), q_new[qa + 7:]], 0
-        )
+        # static-slice row replacement via concat (Mosaic: no scatter;
+        # drop the tail slice when the free joint ends q -- Mosaic
+        # rejects 0-row vectors)
+        parts = [q_new[: qa + 3], jnp.concatenate(qn, 0)]
+        if qa + 7 < s.nq:
+            parts.append(q_new[qa + 7:])
+        q_new = jnp.concatenate(parts, 0)
     return q_new
 
 
@@ -941,8 +1063,7 @@ def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
     substep = _substep_fn(s, p, h, gravity, has_xfrc, has_qt)
 
     def run(q, qd, qfrc, xfrc, q_target):
-        T = q.shape[-1]
-        warm = jnp.zeros(((s.nc + s.pp_nc) * 3, T))
+        warm = None  # substep builds selected-size zeros on the first slice
         bf = bt = doff = None
         for _ in range(n_slices):
             q, qd, warm, bf, bt, doff = substep(
@@ -1089,6 +1210,13 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
                 out_specs=tuple(bspec(r) for r in out_rows),
                 out_shape=tuple(
                     jax.ShapeDtypeStruct((r, Np), jnp.float32) for r in out_rows
+                ),
+                # the default scoped-vmem budget (16M) is conservative;
+                # raising it lets ShadowHand-class models (~23M peak with
+                # the top-K gather chain) compile -- Mosaic still errors
+                # at compile time if the physical core limit is exceeded
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
                 ),
             )(*ins, *const_ins)
         else:

@@ -141,9 +141,18 @@ class VecTask:
         # fused math path on any backend; False always vmaps the engine
         sim_cfg = cfg.get("sim", {}) or {}
         self.use_fused = sim_cfg.get("use_fused", "auto")
-        self._fused_capable = _fused.fused_supported(
-            self.model, self.sim_params, self.terrain
-        )
+        self._fused_cap_cache = None
+
+    @property
+    def _fused_capable(self) -> bool:
+        """Fused-kernel eligibility, evaluated lazily: subclasses may
+        assign self.terrain AFTER super().__init__ (AnymalTerrain), and
+        an eager check would wrongly approve the terrain-blind kernel."""
+        if self._fused_cap_cache is None:
+            self._fused_cap_cache = _fused.fused_supported(
+                self.model, self.sim_params, self.terrain
+            )
+        return self._fused_cap_cache
 
     # ---- hooks ---------------------------------------------------------
     def build_model(self) -> Tuple[Model, SimParams]:

@@ -168,13 +168,28 @@ def test_fused_supported_ppair_gating():
             "sim": {"dt": 1 / 60, "substeps": 2},
         }
     )
-    assert fused.fused_supported(sh.model, sh.sim_params, None)
-    # a contact cap below the candidate count forces the vmap top-K path
+    # uncapped, the full 78-candidate Delassus system exceeds the VMEM
+    # budget; with the yaml's max_active_contacts=24 the top-K fused
+    # path shrinks it to (3*24)^2 and the model runs fused
+    assert not fused.fused_supported(sh.model, sh.sim_params, None)
     capped = sh.sim_params.replace(max_active_contacts=24)
-    assert not fused.fused_supported(sh.model, capped, None)
+    assert fused.fused_supported(sh.model, capped, None)
     # mesh-geom pairs (FrankaCabinet) stay on the vmap path
     fc = _env("FrankaCabinet")
     assert not fused.fused_supported(fc.model, fc.sim_params, None)
+
+
+def test_fused_matches_vmap_shadow_hand_capped():
+    """ShadowHand at its yaml operating point (max_active_contacts=24 <
+    78 candidates): the fused top-K selection must reproduce the vmap
+    engine's lax.top_k active set (predicted-depth key, index ties)."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(["task=ShadowHand", "num_envs=4"])["task"]
+    env = task_map["ShadowHand"](cfg)
+    assert env.sim_params.max_active_contacts == 24
+    assert fused.fused_supported(env.model, env.sim_params, env.terrain)
+    _compare(env, steps=3, tol=5e-4, qfrc_scale=0.05)
 
 
 def test_fused_matches_vmap_allegro_kuka():
