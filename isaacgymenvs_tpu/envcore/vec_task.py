@@ -185,6 +185,44 @@ class VecTask:
         ADR-enabled tasks; receives a SINGLE env's task pytree."""
         return jnp.zeros(())
 
+    # ---- dict observations (EnvDextreme / ComplexObsRLGPUEnv parity) ---
+    # The reference's DeXtreme/AllegroKuka runtime exposes observations
+    # as a dict of named tensors (adr_vec_task.py:173-220 per-key
+    # buffers; rlgames_utils.py:298 ComplexObsRLGPUEnv). This framework
+    # keeps the POLICY input flat (one fixed-order concatenation -- the
+    # same information, friendlier to jit), and offers the dict view at
+    # the API boundary: tasks declare `obs_spec()` ({key: (offset,
+    # size)}) and consumers re-dict any flat obs batch with obs_dict().
+
+    @property
+    def observation_dict_space(self):
+        """{key: size} of the named observation slices, or None when the
+        task has no dict-obs structure (single-key tasks)."""
+        spec = self.obs_spec() if hasattr(self, "obs_spec") else None
+        if not spec:
+            return None
+        return {k: n for k, (_, n) in spec.items()}
+
+    def obs_dict(self, obs):
+        """Split a flat obs batch (..., num_obs) into the task's named
+        observation dict. Falls back to {"obs": obs} for tasks without
+        an obs_spec (mirroring the reference's plain-obs envs)."""
+        spec = self.obs_spec() if hasattr(self, "obs_spec") else None
+        if not spec:
+            return {"obs": obs}
+        return {k: obs[..., off:off + n] for k, (off, n) in spec.items()}
+
+    def step_dict(self, state, actions):
+        """step() with dict observations (ComplexObsRLGPUEnv.step
+        semantics: same rewards/dones/extras, obs as a named dict)."""
+        state, obs, rew, done, extras = self.step(state, actions)
+        return state, self.obs_dict(obs), rew, done, extras
+
+    def reset_dict(self, rng):
+        """reset() with dict observations."""
+        state, obs = self.reset(rng)
+        return state, self.obs_dict(obs)
+
     def render(self, state, env_idx: int = 0):
         """Headless render stub (reference vec_task.py:457-512 drives a
         viewer + frame capture; a TPU pod has none): returns one env's

@@ -109,3 +109,38 @@ def test_ant_settles_and_stays_finite():
     assert np.isfinite(np.asarray(rew)).all()
     z = np.asarray(state.sim.q)[:, 2]
     assert (z > 0.1).all() and (z < 1.0).all()
+
+
+def test_dict_obs_api():
+    """Dict-observation view (reference ComplexObsRLGPUEnv /
+    EnvDextreme dict spaces, adr_vec_task.py:173-220): tasks with an
+    obs_spec re-dict the flat vector; plain tasks fall back to
+    {"obs": ...}."""
+    from isaacgymenvs_tpu.utils.config import load_config
+    from isaacgymenvs_tpu.tasks import task_map
+
+    cfg = load_config(["task=AllegroHandDextremeADR", "num_envs=4"])["task"]
+    env = task_map["AllegroHandDextremeADR"](cfg)
+    space = env.observation_dict_space
+    assert space is not None and sum(space.values()) == env.num_obs
+    state, od = env.reset_dict(jax.random.PRNGKey(0))
+    assert set(od) == set(space)
+    for k, n in space.items():
+        assert od[k].shape == (4, n)
+    state, od, rew, done, extras = jax.jit(env.step_dict)(
+        state, jnp.zeros((4, env.num_acts))
+    )
+    assert od["last_actions"].shape == (4, space["last_actions"])
+    # reconstruction: dict slices concatenate back to the flat obs
+    state2, flat = env.reset(jax.random.PRNGKey(0))
+    rd = env.obs_dict(flat)
+    spec = env.obs_spec()
+    rebuilt = jnp.concatenate(
+        [rd[k] for k in sorted(spec, key=lambda k: spec[k][0])], axis=-1
+    )
+    assert np.allclose(np.asarray(rebuilt), np.asarray(flat))
+
+    plain = make("Cartpole", num_envs=2)
+    assert plain.observation_dict_space is None
+    _, od = plain.reset_dict(jax.random.PRNGKey(1))
+    assert list(od) == ["obs"] and od["obs"].shape == (2, 4)
