@@ -73,17 +73,21 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
     """True when the fused kernel covers this model's feature set."""
     npp = len(model.ppair_point)
     n_plane = model.ncp if model.plane_contacts else 0
+    natt = len(model.att_body)
     pp_types_ok = all(
-        model.geom_type[g] in (0, 2)  # SPHERE, BOX
+        model.geom_type[g] in (0, 2, 3)  # SPHERE, BOX, CYLINDER
         for g in model.ppair_geom
     )
     cap = params.max_active_contacts
-    nct = n_plane + npp
+    nct = n_plane + npp + natt
     nv = model.nv
     if cap and cap < nct:
         # top-K path: the Delassus system shrinks to 3*cap rows; the full
         # contact jacobian plus the rank/one-hot selection masks stay
-        # resident alongside it
+        # resident alongside it. Bilateral rows always win a slot, so the
+        # cap must leave room for unilateral candidates too.
+        if cap <= natt:
+            return False
         rows3 = 3 * cap
         sel_rows = nv * 3 * nct + cap * nct + 32 * nct + 6 * nct
     else:
@@ -98,7 +102,6 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         and params.solver == "apgd"
         and not model.pair_geom_a
         and not model.spair_point
-        and not model.att_body
         and pp_types_ok
         # restitution not yet in the fused math (dof friction IS)
         and (
@@ -213,6 +216,13 @@ class _Spec(NamedTuple):
     pp_path: np.ndarray  # (nv, npp) SIGNED dof path mask (A - B)
     pp_boc_a: np.ndarray  # (nbody, npp) +force accumulation
     pp_boc_b: np.ndarray  # (nbody, npp)
+    # bilateral point anchors (attractors, contacts.py source 3)
+    att_n: int
+    att_pick: np.ndarray  # (natt, nbody) one-hot anchor body
+    att_offset: np.ndarray  # (natt, 3) anchor point in body frame
+    att_target: np.ndarray  # (natt, 3) world target
+    att_path: np.ndarray  # (nv, natt) dof path mask
+    att_boc: np.ndarray  # (nbody, natt) force accumulation
     # tendons
     tendon_coef: np.ndarray | None
     tendon_range: np.ndarray | None
@@ -292,6 +302,22 @@ def _extract(model: Model) -> _Spec:
         pp_path = np.zeros((model.nv, 0), np.float32)
         boc_a = np.zeros((model.nbody, 0), np.float32)
         boc_b = np.zeros((model.nbody, 0), np.float32)
+    natt = len(model.att_body)
+    if natt:
+        ab = np.asarray(model.att_body)
+        att_pick = np.zeros((natt, model.nbody), np.float32)
+        att_pick[np.arange(natt), ab] = 1.0
+        att_path = anc[ab][:, np.asarray(model.dof_body)].astype(np.float32).T
+        att_boc = np.zeros((model.nbody, natt), np.float32)
+        att_boc[ab, np.arange(natt)] = 1.0
+        att_offset = g(model.att_offset)
+        att_target = g(model.att_target)
+    else:
+        att_pick = np.zeros((0, model.nbody), np.float32)
+        att_path = np.zeros((model.nv, 0), np.float32)
+        att_boc = np.zeros((model.nbody, 0), np.float32)
+        att_offset = np.zeros((0, 3), np.float32)
+        att_target = np.zeros((0, 3), np.float32)
     has_t = model.tendon_coef is not None and model.tendon_coef.shape[0]
     return _Spec(
         nbody=model.nbody,
@@ -345,6 +371,12 @@ def _extract(model: Model) -> _Spec:
         pp_path=pp_path,
         pp_boc_a=boc_a,
         pp_boc_b=boc_b,
+        att_n=natt,
+        att_pick=att_pick,
+        att_offset=att_offset,
+        att_target=att_target,
+        att_path=att_path,
+        att_boc=att_boc,
         tendon_coef=g(model.tendon_coef) if has_t else None,
         tendon_range=g(model.tendon_range) if has_t else None,
         tendon_stiffness=g(model.tendon_stiffness) if has_t else None,
@@ -516,7 +548,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
     dof_of_body = [
         [d for d in range(s.nv) if s.dof_body[d] == b] for b in range(s.nbody)
     ]
-    n3 = (s.nc + s.pp_nc) * 3
+    n3 = (s.nc + s.pp_nc + s.att_n) * 3
     erp, erp_att = p.baumgarte_erp, p.baumgarte_erp_attractor
     # q index per dof for scalar gathers (free dofs -> 0, masked)
     sel_q = np.zeros((s.nv, s.nq), np.float32)
@@ -662,7 +694,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         qdd = jnp.sum(Minv * rhs[None, :, :], axis=1)
         qd_free = qd + h * qdd
 
-        nct = s.nc + s.pp_nc
+        nct = s.nc + s.pp_nc + s.att_n
         if nct == 0:
             qd_new = jnp.clip(qd_free, -p.max_dof_velocity, p.max_dof_velocity)
             q_new = _integrate(s, q, qd_new, h)
@@ -777,13 +809,67 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             nl_sph = [dvec[k] * inv_sph for k in range(3)]
             phi_sph = half[0] + radius - dist_sph
             surf_sph = [nl_sph[k] * half[0] for k in range(3)]
-            phi_pp = is_box * phi_box + (1.0 - is_box) * phi_sph
+            # CYLINDER: radius half[0], half-height half[1]
+            # (contacts._sphere_vs_geom CYLINDER branch, where-chains)
+            dxy = jnp.sqrt(dvec[0] ** 2 + dvec[1] ** 2 + 1e-18)
+            sc_c = jnp.minimum(1.0, half[0] / jnp.maximum(dxy, 1e-9))
+            c_cyl = [
+                dvec[0] * sc_c,
+                dvec[1] * sc_c,
+                jnp.clip(dvec[2], -half[1], half[1]),
+            ]
+            inside_c = (
+                (dxy < half[0]) & (jnp.abs(dvec[2]) < half[1])
+            ).astype(jnp.float32)
+            gap_r = half[0] - dxy
+            gap_z = half[1] - jnp.abs(dvec[2])
+            big = (dxy > 1e-6).astype(jnp.float32)
+            inv_dxy = 1.0 / jnp.maximum(dxy, 1e-9)
+            rd = [
+                big * dvec[0] * inv_dxy + (1.0 - big),
+                big * dvec[1] * inv_dxy,
+            ]
+            use_r = (gap_r < gap_z).astype(jnp.float32)
+            sgn_z = jnp.sign(dvec[2])
+            c_in_c = [
+                use_r * rd[0] * half[0] + (1.0 - use_r) * dvec[0],
+                use_r * rd[1] * half[0] + (1.0 - use_r) * dvec[1],
+                use_r * dvec[2] + (1.0 - use_r) * sgn_z * half[1],
+            ]
+            n_in_c = [use_r * rd[0], use_r * rd[1], (1.0 - use_r) * sgn_z]
+            pen_in_c = jnp.minimum(gap_r, gap_z)
+            rel_c = [dvec[k] - c_cyl[k] for k in range(3)]
+            dist_c = jnp.sqrt(
+                rel_c[0] ** 2 + rel_c[1] ** 2 + rel_c[2] ** 2 + 1e-18
+            )
+            inv_dc = 1.0 / jnp.maximum(dist_c, 1e-9)
+            n_out_c = [rel_c[k] * inv_dc for k in range(3)]
+            phi_cyl = jnp.where(
+                inside_c > 0, radius + pen_in_c, radius - dist_c
+            )
+            nl_cyl = [
+                jnp.where(inside_c > 0, n_in_c[k], n_out_c[k])
+                for k in range(3)
+            ]
+            surf_cyl = [
+                jnp.where(inside_c > 0, c_in_c[k], c_cyl[k])
+                for k in range(3)
+            ]
+            is_cyl = jnp.asarray(
+                (s.pp_gtype[:, None] == 3).astype(np.float32)
+            )
+            is_sph = 1.0 - is_box - is_cyl
+            phi_pp = (
+                is_box * phi_box + is_cyl * phi_cyl + is_sph * phi_sph
+            )
             n_l = [
-                is_box * nl_box[k] + (1.0 - is_box) * nl_sph[k]
+                is_box * nl_box[k] + is_cyl * nl_cyl[k] + is_sph * nl_sph[k]
                 for k in range(3)
             ]
             surf = [
-                is_box * surf_box[k] + (1.0 - is_box) * surf_sph[k]
+                is_box * surf_box[k]
+                + is_cyl * surf_cyl[k]
+                + is_sph * surf_sph[k]
                 for k in range(3)
             ]
             n_w = _qrot(Qg, n_l)  # world normal, geom -> point
@@ -810,8 +896,37 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             )
             phi_blocks.append(phi_pp)
 
+        # ---- bilateral point anchors (attractors, contacts.py source 3):
+        # 3 world-axis rows per anchor, unprojected, driving the anchor-
+        # point error to zero at erp_att/h ----
+        if s.att_n:
+            aoff = [jnp.asarray(s.att_offset[:, k:k + 1]) for k in range(3)]
+            atgt = [jnp.asarray(s.att_target[:, k:k + 1]) for k in range(3)]
+            aQat = [_dotc(s.att_pick, Qb[k]) for k in range(4)]
+            aXat = [_dotc(s.att_pick, Xb[k]) for k in range(3)]
+            rot_a = _qrot(aQat, aoff)
+            xa = [aXat[k] + rot_a[k] for k in range(3)]  # (natt, T)
+            err_att = [atgt[k] - xa[k] for k in range(3)]
+            Pm_att = _bc3(s.att_path, T)  # (nv, natt, T)
+            Ja_w = point_jac_world(xa, Pm_att)
+            Jt1_blocks.append(Ja_w[0])
+            Jt2_blocks.append(Ja_w[1])
+            Jn_blocks.append(Ja_w[2])
+            phi_blocks.append(jnp.zeros((s.att_n, T)))
+        else:
+            err_att = None
+
         phi = jnp.concatenate(phi_blocks, 0)  # (nct, T)
         active = (phi > -p.contact_margin).astype(jnp.float32)
+        # bilateral mask (att rows), (nct, 1) static
+        bil_full = jnp.asarray(
+            np.concatenate(
+                [
+                    np.zeros(s.nc + s.pp_nc, np.float32),
+                    np.ones(s.att_n, np.float32),
+                ]
+            )[:, None]
+        )
         J = jnp.concatenate(
             [
                 jnp.concatenate(Jt1_blocks, axis=1),
@@ -821,8 +936,31 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             axis=1,
         )  # (nv, 3*nct, T), comp-major rows
         mu_full = jnp.asarray(
-            np.concatenate([s.cp_mu, s.pp_mu]).astype(np.float32)[:, None]
+            np.concatenate(
+                [s.cp_mu, s.pp_mu, np.zeros(s.att_n)]
+            ).astype(np.float32)[:, None]
         )
+        # full-row velocity-target adjustments, built BEFORE selection so
+        # gathered rows carry them: unilateral normal rows get the
+        # Baumgarte/approach target vn_t(phi); bilateral rows get the
+        # anchor-error drive on all 3 world comps (contacts.py b - v_err)
+        vn_t_full = jnp.where(
+            phi > 0,
+            jnp.minimum(erp * phi / h, p.max_depenetration_velocity),
+            phi / h,
+        )
+        if s.att_n:
+            ke_att = erp_att / h
+            nuni = s.nc + s.pp_nc
+            zu = jnp.zeros((nuni, T))
+            adj1 = jnp.concatenate([zu, err_att[0] * ke_att], 0)
+            adj2 = jnp.concatenate([zu, err_att[1] * ke_att], 0)
+            adjn = jnp.concatenate(
+                [vn_t_full[:nuni], err_att[2] * ke_att], 0
+            )
+        else:
+            adj1 = adj2 = None
+            adjn = vn_t_full
 
         # ---- top-K active set (contacts.solve_contacts cap semantics):
         # only the cap most-penetrating candidates (PREDICTED depth
@@ -842,7 +980,11 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                 J[:, 2 * nct:, :] * qd_free[:, None, :], axis=0
             )  # (nct, T)
             key_r = phi - jnp.minimum(vn_free, 0.0) * h
-            key_r = jnp.where(active > 0, key_r, -1e30)
+            # bilateral rows always win a slot (vmap: key = inf)
+            key_r = jnp.where(bil_full > 0, 1e30, key_r)
+            key_r = jnp.where(
+                (active > 0) | (bil_full > 0), key_r, -1e30
+            )
             # rank_i = #{j beating i}; j-chunked to bound the 3-D temp
             # (all-int32 iota/rank: Mosaic's tpu.iota is integer-only)
             rank = jnp.zeros(key_r.shape, jnp.int32)
@@ -893,6 +1035,10 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             phi_e = gat(phi)
             active_e = gat(active)
             mu_e = gat(mu_full)
+            bil_e = gat(bil_full)
+            adjn_e = gat(adjn)
+            adj1_e = gat(adj1) if adj1 is not None else None
+            adj2_e = gat(adj2) if adj2 is not None else None
             # first substep: no warm impulses yet -- build zeros at the
             # selected size instead of gathering a splat-zero tensor
             # (Mosaic cannot relayout fully-replicated vectors through
@@ -912,7 +1058,8 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             nce = cap
         else:
             J_eff, phi_e, active_e = J, phi, active
-            mu_e, nce = mu_full, nct
+            mu_e, nce, bil_e = mu_full, nct, bil_full
+            adj1_e, adj2_e, adjn_e = adj1, adj2, adjn
             warm_e = jnp.zeros((3 * nct, T)) if warm is None else warm
 
         # Delassus A = J^T Minv J  (formed once, VMEM-resident)
@@ -924,15 +1071,21 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         # matvec below -- materializing eye(3nc) lane-tiled wastes VMEM)
 
         b_vec = jnp.sum(J_eff * qd_free[:, None, :], axis=0)  # (3nce, T)
-        # separated rows allow approach at gap/h (see contacts.py note)
-        vn_t = jnp.where(
-            phi_e > 0,
-            jnp.minimum(erp * phi_e / h, p.max_depenetration_velocity),
-            phi_e / h,
-        )
-        b_vec = jnp.concatenate(
-            [b_vec[: 2 * nce], b_vec[2 * nce:] - vn_t], 0
-        )
+        # separated rows allow approach at gap/h (see contacts.py note);
+        # bilateral rows drive the 3-D anchor error instead
+        if adj1_e is not None:
+            b_vec = jnp.concatenate(
+                [
+                    b_vec[:nce] - adj1_e,
+                    b_vec[nce:2 * nce] - adj2_e,
+                    b_vec[2 * nce:] - adjn_e,
+                ],
+                0,
+            )
+        else:
+            b_vec = jnp.concatenate(
+                [b_vec[: 2 * nce], b_vec[2 * nce:] - adjn_e], 0
+            )
 
         # Per-contact Jacobi preconditioning, mirroring contacts.py
         # _solve_apgd exactly (the equivalence tests compare trajectories
@@ -956,10 +1109,17 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         step = 1.0 / jnp.maximum(Lip, 1e-8)
 
         def project(y):
-            ln = jnp.maximum(y[2 * nce:], 0.0)
+            lnc_ = y[2 * nce:]
+            # bilateral rows: unprojected (contacts._project_flat)
+            ln = jnp.where(bil_e > 0, lnc_, jnp.maximum(lnc_, 0.0))
             t1_, t2_ = y[: nce], y[nce:2 * nce]
             tn = jnp.sqrt(t1_ * t1_ + t2_ * t2_ + 1e-12)
-            sc = jnp.minimum(1.0, mu_e * ln / tn) * active_e
+            sc = (
+                jnp.where(
+                    bil_e > 0, 1.0, jnp.minimum(1.0, mu_e * ln / tn)
+                )
+                * active_e
+            )
             return jnp.concatenate([t1_ * sc, t2_ * sc, ln * active_e], 0)
 
         lam = project(warm_e / s3)  # into scaled variables
@@ -1008,9 +1168,9 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             bf = [bf[k] + _dotc(boc, Fp[k]) for k in range(3)]
             bt = [bt[k] + _dotc(boc, tq_p[k]) for k in range(3)]
         if s.pp_nc:
-            lt1 = lam_t1[s.nc:]
-            lt2 = lam_t2[s.nc:]
-            ln_ = lam_n[s.nc:]
+            lt1 = lam_t1[s.nc:s.nc + s.pp_nc]
+            lt2 = lam_t2[s.nc:s.nc + s.pp_nc]
+            ln_ = lam_n[s.nc:s.nc + s.pp_nc]
             Fw = [
                 t1[k] * lt1 + t2[k] * lt2 + n_w[k] * ln_ for k in range(3)
             ]
@@ -1026,6 +1186,14 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                 bt[k] + _dotc(s.pp_boc_a, tq_a[k]) - _dotc(s.pp_boc_b, tq_b[k])
                 for k in range(3)
             ]
+        if s.att_n:
+            a0 = s.nc + s.pp_nc
+            # anchor rows are world-axis frames: force comps ARE the lams
+            Fa = [lam_t1[a0:], lam_t2[a0:], lam_n[a0:]]
+            rel_at = [xa[k] - aXat[k] for k in range(3)]
+            tq_at = _cross(rel_at, Fa)
+            bf = [bf[k] + _dotc(s.att_boc, Fa[k]) for k in range(3)]
+            bt = [bt[k] + _dotc(s.att_boc, tq_at[k]) for k in range(3)]
         body_force = jnp.concatenate(bf, 0)  # (nbody*3, T) comp-major
         body_torque = jnp.concatenate(bt, 0)
         return q_new, qd_new, lam, body_force, body_torque, qfrc_con * inv_h

@@ -180,9 +180,12 @@ class BallBalance(VecTask):
         ball_q = model.q_adr[ball]
         self.ball_q = ball_q
 
-        # ball-vs-tray contact pair (sphere geom is the first of ball body)
-        ball_geom = model.geom_body.index(ball)
+        # ball-vs-tray contact: the sphere's center candidate point vs the
+        # tray cylinder as a POINT-pair (same narrowphase as the sphere
+        # geom-pair in contacts.py source 2, but ppair rows are covered by
+        # the fused whole-step kernel -- engine/fused.py cylinder branch)
         tray_geom = model.geom_body.index(tray)
+        ball_cp = model.cpoint_body.index(ball)
         # foot anchors: attractors pinning lower-leg tips to the ground
         # (reference ball_balance.py:305-320)
         att_body = tuple(lower_legs)
@@ -203,8 +206,8 @@ class BallBalance(VecTask):
             ]
         )
         model = model.replace(
-            pair_geom_a=(ball_geom,),
-            pair_geom_b=(tray_geom,),
+            ppair_point=(ball_cp,),
+            ppair_geom=(tray_geom,),
             att_body=att_body,
             att_offset=jnp.asarray(att_offset),
             att_target=jnp.asarray(att_target),

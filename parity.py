@@ -38,6 +38,12 @@ MILESTONES = {
     "BallBalance": (350.0, 250 * 16 * 4096, 750),
     "Ant": (5000.0, 500 * 16 * 4096, 1500),
     "Humanoid": (5000.0, 1000 * 32 * 4096, 3000),
+    # manipulation clearly works: several consecutive in-hand cube
+    # reorientation successes (return ~3000 ~= consecutive_successes ~5;
+    # the reference's score_to_win 100000 is aspirational and unreached
+    # by either implementation). Budget = ShadowHandPPO.yaml max_epochs
+    # 5000 x horizon 8 x 16384 envs.
+    "ShadowHand": (3000.0, 5000 * 8 * 16384, 5000),
 }
 
 

@@ -103,9 +103,18 @@ def test_fused_matches_vmap_humanoid():
 def test_fused_supported_gating():
     ant = _env("Ant")
     assert fused.fused_supported(ant.model, ant.sim_params, None)
-    # BallBalance uses bilateral anchors -> must fall back to the vmap path
+    # BallBalance: bilateral anchors + a sphere-vs-cylinder point pair,
+    # both covered by the fused kernel since round 3
     bb = _env("BallBalance")
-    assert not fused.fused_supported(bb.model, bb.sim_params, None)
+    assert fused.fused_supported(bb.model, bb.sim_params, None)
+
+
+def test_fused_matches_vmap_ball_balance():
+    """Bilateral anchor rows (unprojected, erp_att-driven) + the
+    point-vs-CYLINDER narrowphase through the fused math vs the vmap
+    engine (contacts.py sources 2b and 3)."""
+    env = _env("BallBalance")
+    _compare(env, steps=3, tol=5e-4, qfrc_scale=0.5)
 
 
 def test_fused_env_step_equivalence():
