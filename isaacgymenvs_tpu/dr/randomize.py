@@ -364,16 +364,22 @@ class DomainRandomizer:
         return out
 
     # ---- application ---------------------------------------------------
-    def model_axes(self, model: Model) -> Model:
-        """vmap in_axes pytree: 0 on randomized leaves, None elsewhere."""
+    def batched_leaf_names(self) -> set:
+        """Model leaf names that batched_model() gives a leading env axis."""
         leaves = {spec.leaf for spec in self.model_specs}
         if self.scale_specs:
             leaves |= {
                 "cpoint_pos", "geom_size", "body_ipos",
                 "body_mass", "body_inertia",
             }
+        return leaves
+
+    def model_axes(self, model: Model) -> Model:
+        """vmap in_axes pytree: 0 on randomized leaves, None elsewhere."""
         axes = jax.tree.map(lambda _: None, model)
-        return axes.replace(**{leaf: 0 for leaf in leaves})
+        return axes.replace(
+            **{leaf: 0 for leaf in self.batched_leaf_names()}
+        )
 
     def batched_model(self, model: Model, sample: Dict[str, jax.Array]) -> Model:
         """Model with randomized leaves batched (num_envs, ...); each spec

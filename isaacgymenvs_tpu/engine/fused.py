@@ -103,11 +103,6 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         and not model.pair_geom_a
         and not model.spair_point
         and pp_types_ok
-        # restitution not yet in the fused math (dof friction IS)
-        and (
-            model.cpoint_restitution is None
-            or not np.any(np.asarray(model.cpoint_restitution))
-        )
     )
 
 
@@ -211,11 +206,14 @@ class _Spec(NamedTuple):
     pp_gpos: np.ndarray  # (npp, 3) geom offset in body-B frame
     pp_gquat: np.ndarray  # (npp, 4)
     pp_gsize: np.ndarray  # (npp, 3)
+    pp_pick_pt: np.ndarray  # (npp, ncp_model) one-hot candidate point
+    pp_geom_fric: np.ndarray  # (npp,) geom-side friction (const under DR)
     pp_pick_a: np.ndarray  # (npp, nbody) one-hot point body
     pp_pick_b: np.ndarray  # (npp, nbody) one-hot geom body
     pp_path: np.ndarray  # (nv, npp) SIGNED dof path mask (A - B)
     pp_boc_a: np.ndarray  # (nbody, npp) +force accumulation
     pp_boc_b: np.ndarray  # (nbody, npp)
+    rest: np.ndarray  # (nc + npp,) per-row Newton restitution
     # bilateral point anchors (attractors, contacts.py source 3)
     att_n: int
     att_pick: np.ndarray  # (natt, nbody) one-hot anchor body
@@ -280,6 +278,9 @@ def _extract(model: Model) -> _Spec:
         pick_a[np.arange(npp), pa] = 1.0
         pick_b = np.zeros((npp, model.nbody), np.float32)
         pick_b[np.arange(npp), pb] = 1.0
+        pick_pt = np.zeros((npp, model.ncp), np.float32)
+        pick_pt[np.arange(npp), pts] = 1.0
+        pp_geom_fric = g(model.geom_friction)[geoms]
         dof_body_arr = np.asarray(model.dof_body)
         pp_path = (
             anc[pa][:, dof_body_arr].astype(np.float32)
@@ -299,9 +300,24 @@ def _extract(model: Model) -> _Spec:
         pp_gsize = np.zeros((0, 3), np.float32)
         pick_a = np.zeros((0, model.nbody), np.float32)
         pick_b = np.zeros((0, model.nbody), np.float32)
+        pick_pt = np.zeros((0, model.ncp), np.float32)
+        pp_geom_fric = np.zeros(0, np.float32)
         pp_path = np.zeros((model.nv, 0), np.float32)
         boc_a = np.zeros((model.nbody, 0), np.float32)
         boc_b = np.zeros((model.nbody, 0), np.float32)
+    rst = (
+        np.asarray(jax.device_get(model.cpoint_restitution), np.float32)
+        if model.cpoint_restitution is not None
+        else np.zeros(model.ncp, np.float32)
+    )
+    rest_rows = np.concatenate(
+        [
+            rst[: model.ncp] if nc else np.zeros(0, np.float32),
+            rst[np.asarray(model.ppair_point)[
+                np.argsort(np.asarray(model.ppair_geom), kind="stable")
+            ]] if npp else np.zeros(0, np.float32),
+        ]
+    )
     natt = len(model.att_body)
     if natt:
         ab = np.asarray(model.att_body)
@@ -366,11 +382,14 @@ def _extract(model: Model) -> _Spec:
         pp_gpos=pp_gpos,
         pp_gquat=pp_gquat,
         pp_gsize=pp_gsize,
+        pp_pick_pt=pick_pt,
+        pp_geom_fric=pp_geom_fric,
         pp_pick_a=pick_a,
         pp_pick_b=pick_b,
         pp_path=pp_path,
         pp_boc_a=boc_a,
         pp_boc_b=boc_b,
+        rest=rest_rows,
         att_n=natt,
         att_pick=att_pick,
         att_offset=att_offset,
@@ -490,11 +509,13 @@ def _stackb(lst_of_comp, k):
     return jnp.concatenate([b[k] for b in lst_of_comp], 0)
 
 
-def _spatial_inertia(s: _Spec, Xb, Qb):
+def _spatial_inertia(s: _Spec, Xb, Qb, m_dyn=None):
     """World-origin 6x6 spatial inertia entries Io[r][k]: (nbody, T) each.
 
     Mirrors maths.spatial_inertia_at_origin: with c = world CoM,
-    Io = [[Iw - m cx cx, m cx], [-m cx, m I]].
+    Io = [[Iw - m cx cx, m cx], [-m cx, m I]]. `m_dyn` (nbody, T)
+    overrides the static body masses (per-env DR); inertia stays the
+    model leaf, exactly like the vmap path under mass-only DR.
     """
     x, y, z, w = (Qb[k] for k in range(4))
     xx, yy, zz = x * x, y * y, z * z
@@ -514,7 +535,7 @@ def _spatial_inertia(s: _Spec, Xb, Qb):
     Ib = [[jnp.asarray(s.body_inertia[:, a:a + 1, b].copy()) for b in range(3)] for a in range(3)]
     RI = [[sum(R[a][c] * Ib[c][b] for c in range(3)) for b in range(3)] for a in range(3)]
     Iw = [[sum(RI[a][c] * R[b][c] for c in range(3)) for b in range(3)] for a in range(3)]
-    m = jnp.asarray(s.body_mass[:, None])
+    m = m_dyn if m_dyn is not None else jnp.asarray(s.body_mass[:, None])
     cx, cy, cz = com
     # m * cx_mat @ cx_mat  (cx_mat = skew(c))
     c2 = cx * cx + cy * cy + cz * cz
@@ -539,7 +560,12 @@ def _spatial_inertia(s: _Spec, Xb, Qb):
 
 def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                 has_xfrc: bool, has_qt: bool):
-    """Build the single-substep function for this model."""
+    """Build the single-substep function for this model.
+
+    The returned substep takes a `dyn` dict of per-env (rows, T) leaf
+    overrides (DYN_LEAVES + "gravity") replacing the corresponding
+    static-model constants -- the fused path for domain-randomized
+    models (the vmap engine's batched Model leaves)."""
     children = [[] for _ in range(s.nbody)]
     for i in range(s.nbody):
         if s.parent[i] != -1:
@@ -568,13 +594,14 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         a = np.asarray(arr2d, np.float32)
         return jnp.asarray(np.broadcast_to(a[:, :, None], (*a.shape, T)).copy())
 
-    def substep(q, qd, qfrc, xfrc, q_target, warm):
+    def substep(q, qd, qfrc, xfrc, q_target, warm, dyn=None):
+        dyn = dyn or {}
         T = q.shape[-1]
         Xl, Ql, Vl, S, Sdot = _fk(s, q, qd)
         Xb = [_stackb(Xl, k) for k in range(3)]
         Qb = [_stackb(Ql, k) for k in range(4)]
         Vb = [_stackb(Vl, k) for k in range(6)]
-        Io, com = _spatial_inertia(s, Xb, Qb)
+        Io, com = _spatial_inertia(s, Xb, Qb, dyn.get("body_mass"))
 
         # composite inertia via reverse-topological accumulation:
         # IC[b] = Io[b] + sum_children IC[child]; store per-body slices.
@@ -609,8 +636,14 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                 zet = [zet[k] + Sdot[k][d][None] * qd_d for k in range(6)]
             zeta_b.append(zet)
         zeta = [jnp.concatenate([z[k] for z in zeta_b], 0) for k in range(6)]
-        a_grav = [0.0, 0.0, 0.0] + [float(g) for g in gravity]
-        x_in = [zeta[k] - a_grav[k] for k in range(6)]
+        if "gravity" in dyn:
+            gdyn = dyn["gravity"]  # (3, T)
+            x_in = [zeta[k] for k in range(3)] + [
+                zeta[3 + k] - gdyn[k:k + 1] for k in range(3)
+            ]
+        else:
+            a_grav = [0.0, 0.0, 0.0] + [float(g) for g in gravity]
+            x_in = [zeta[k] - a_grav[k] for k in range(6)]
         net = [sum(Io[r][k] * x_in[k] for k in range(6)) for r in range(6)]
         # + v x* (Io v)
         Iov = [sum(Io[r][k] * Vb[k] for k in range(6)) for r in range(6)]
@@ -639,21 +672,29 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             _dotc(sel_q, q_target) if has_qt
             else jnp.asarray((sel_q @ s.qpos0)[:, None])
         )
-        kstiff = jnp.asarray(s.dof_stiffness[:, None])
-        kdamp = jnp.asarray(s.dof_damping[:, None])
+        kstiff = dyn.get(
+            "dof_stiffness", jnp.asarray(s.dof_stiffness[:, None])
+        )
+        kdamp = dyn.get("dof_damping", jnp.asarray(s.dof_damping[:, None]))
         limited = jnp.asarray(s.dof_limited[:, None])
-        lo = jnp.asarray(s.dof_limit_lower[:, None])
-        hi = jnp.asarray(s.dof_limit_upper[:, None])
+        lo = dyn.get(
+            "dof_limit_lower", jnp.asarray(s.dof_limit_lower[:, None])
+        )
+        hi = dyn.get(
+            "dof_limit_upper", jnp.asarray(s.dof_limit_upper[:, None])
+        )
         tau_p = -kstiff * (q_scalar - setpoint)
         over = jnp.maximum(q_scalar - hi, 0.0)
         under = jnp.maximum(lo - q_scalar, 0.0)
         violating = ((over > 0) | (under > 0)).astype(jnp.float32)
         tau_p = tau_p + limited * (-p.limit_stiffness * (over - under))
         D = kdamp + limited * violating * p.limit_damping
-        if np.any(s.dof_friction):
+        if "dof_friction" in dyn or np.any(s.dof_friction):
             # regularized Coulomb joint friction folded into the implicit
             # damping diagonal (dynamics.drive_forces semantics)
-            kfric = jnp.asarray(s.dof_friction[:, None])
+            kfric = dyn.get(
+                "dof_friction", jnp.asarray(s.dof_friction[:, None])
+            )
             D = D + kfric / (jnp.abs(qd) + 2e-3)
         K = kstiff + limited * violating * p.limit_stiffness
         if s.tendon_coef is not None:
@@ -663,13 +704,22 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             t_hi = jnp.asarray(s.tendon_range[:, 1:2])
             viol = jnp.maximum(t_val - t_hi, 0.0) + jnp.minimum(t_val - t_lo, 0.0)
             f_t = (
-                -jnp.asarray(s.tendon_stiffness[:, None]) * viol
-                - jnp.asarray(s.tendon_damping[:, None]) * t_vel
+                -dyn.get(
+                    "tendon_stiffness",
+                    jnp.asarray(s.tendon_stiffness[:, None]),
+                ) * viol
+                - dyn.get(
+                    "tendon_damping",
+                    jnp.asarray(s.tendon_damping[:, None]),
+                ) * t_vel
             )
             tau_p = tau_p + _dotc(s.tendon_coef.T, f_t)
 
         # Mh = M + diag(h D + h^2 K); invert by vectorized Gauss-Jordan
-        diag_add = jnp.asarray(s.armature[:, None]) + h * D + h * h * K
+        diag_add = (
+            dyn.get("armature", jnp.asarray(s.armature[:, None]))
+            + h * D + h * h * K
+        )
         Mh = M + eye3 * diag_add[:, None, :]
         A_gj = Mh
         Minv = eye3 + jnp.zeros_like(Mh)
@@ -935,11 +985,30 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             ],
             axis=1,
         )  # (nv, 3*nct, T), comp-major rows
-        mu_full = jnp.asarray(
-            np.concatenate(
-                [s.cp_mu, s.pp_mu, np.zeros(s.att_n)]
-            ).astype(np.float32)[:, None]
-        )
+        if "cpoint_friction" in dyn:
+            # plane rows are all candidate points in order; pp rows
+            # average the (dynamic) point side with the (static) geom
+            # side, exactly like contacts.constraint_data source 2b
+            cpf = dyn["cpoint_friction"]  # (ncp_model, T)
+            mu_parts = []
+            if s.nc:
+                mu_parts.append(cpf)
+            if s.pp_nc:
+                mu_parts.append(
+                    0.5 * (
+                        _dotc(s.pp_pick_pt, cpf)
+                        + jnp.asarray(s.pp_geom_fric[:, None])
+                    )
+                )
+            if s.att_n:
+                mu_parts.append(jnp.zeros((s.att_n, T)))
+            mu_full = jnp.concatenate(mu_parts, 0)
+        else:
+            mu_full = jnp.asarray(
+                np.concatenate(
+                    [s.cp_mu, s.pp_mu, np.zeros(s.att_n)]
+                ).astype(np.float32)[:, None]
+            )
         # full-row velocity-target adjustments, built BEFORE selection so
         # gathered rows carry them: unilateral normal rows get the
         # Baumgarte/approach target vn_t(phi); bilateral rows get the
@@ -949,6 +1018,39 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             jnp.minimum(erp * phi / h, p.max_depenetration_velocity),
             phi / h,
         )
+        if "cpoint_restitution" in dyn or np.any(s.rest):
+            # Newton restitution (contacts.solve_contacts): touching rows
+            # impacting faster than the bounce threshold target -e*v_n^-,
+            # combined with Baumgarte by taking the larger outward target
+            if "cpoint_restitution" in dyn:
+                cr = dyn["cpoint_restitution"]  # (ncp_model, T)
+                r_parts = []
+                if s.nc:
+                    r_parts.append(cr)
+                if s.pp_nc:
+                    r_parts.append(_dotc(s.pp_pick_pt, cr))
+                if s.att_n:
+                    r_parts.append(jnp.zeros((s.att_n, T)))
+                rest_r = jnp.concatenate(r_parts, 0)
+            else:
+                rest_r = jnp.asarray(
+                    np.concatenate(
+                        [s.rest, np.zeros(s.att_n, np.float32)]
+                    )[:, None]
+                )
+            vn_pre = jnp.sum(
+                J[:, 2 * nct:, :] * qd_free[:, None, :], axis=0
+            )  # (nct, T)
+            bounce = (
+                (rest_r > 0.0)
+                & (phi > -p.contact_margin)
+                & (vn_pre < -p.bounce_threshold_velocity)
+            )
+            vn_t_full = jnp.where(
+                bounce,
+                jnp.maximum(vn_t_full, -rest_r * vn_pre),
+                vn_t_full,
+            )
         if s.att_n:
             ke_att = erp_att / h
             nuni = s.nc + s.pp_nc
@@ -1230,12 +1332,12 @@ def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
     gravity = np.asarray(jax.device_get(p.gravity), np.float32)
     substep = _substep_fn(s, p, h, gravity, has_xfrc, has_qt)
 
-    def run(q, qd, qfrc, xfrc, q_target):
+    def run(q, qd, qfrc, xfrc, q_target, dyn=None):
         warm = None  # substep builds selected-size zeros on the first slice
         bf = bt = doff = None
         for _ in range(n_slices):
             q, qd, warm, bf, bt, doff = substep(
-                q, qd, qfrc, xfrc, q_target, warm
+                q, qd, qfrc, xfrc, q_target, warm, dyn
             )
         return q, qd, bf, bt, doff
 
@@ -1243,6 +1345,20 @@ def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
 
 
 _CACHE: dict = {}
+
+
+# Model leaves the kernel accepts as per-env (N, rows) inputs: the
+# domain-randomization surface (dr/randomize._ACTOR_PARAM_MAP leaves
+# that physics actually consumes). Everything else batched -> vmap.
+DYN_LEAVES = (
+    "dof_damping", "dof_stiffness", "dof_friction", "armature",
+    "dof_limit_lower", "dof_limit_upper", "body_mass",
+    "cpoint_friction", "cpoint_restitution",
+    "tendon_stiffness", "tendon_damping",
+)
+# leaves DR batches that the engine never reads (task-level consumers):
+# safe to ignore on the fused path, matching the vmap engine exactly
+DYN_INERT = ("dof_max_effort",)
 
 
 def physics_step_fused(
@@ -1254,21 +1370,29 @@ def physics_step_fused(
     xfrc: jax.Array | None = None,  # (N, nbody, 6)
     q_target: jax.Array | None = None,  # (N, nq)
     use_pallas: bool | None = None,
+    dyn: dict | None = None,  # {DYN_LEAVES|"gravity": (N, rows) arrays}
 ) -> FusedOut:
     """Batched full physics step via the fused kernel.
 
     Inputs/outputs are env-leading like the vmap path; internally arrays
-    are transposed to (rows, N) and tiled over the env-lane axis.
+    are transposed to (rows, N) and tiled over the env-lane axis. `dyn`
+    carries per-env model-leaf overrides (domain randomization) as extra
+    kernel inputs.
     """
     N = q.shape[0]
-    key = (id(model), id(params), N, xfrc is not None, q_target is not None)
+    dyn = dyn or {}
+    dyn_names = tuple(sorted(dyn))
+    key = (id(model), id(params), N, xfrc is not None, q_target is not None,
+           dyn_names)
     if key not in _CACHE:
         _CACHE[key] = _build_call(model, params, N, xfrc is not None,
-                                  q_target is not None, use_pallas)
-    return _CACHE[key](q, qd, qfrc, xfrc, q_target)
+                                  q_target is not None, use_pallas,
+                                  dyn_names)
+    return _CACHE[key](q, qd, qfrc, xfrc, q_target, dyn)
 
 
-def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
+def _build_call(model, params, N, has_xfrc, has_qt, use_pallas,
+                dyn_names=()):
     s = _extract(model)
     run = _step_math(s, params, has_xfrc, has_qt)
     if use_pallas is None:
@@ -1283,11 +1407,25 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
     grid = Np // tile
     nb3 = s.nbody * 3
 
+    nt = 0 if s.tendon_coef is None else s.tendon_coef.shape[0]
+    dyn_rows = {
+        **{k: s.nv for k in (
+            "dof_damping", "dof_stiffness", "dof_friction", "armature",
+            "dof_limit_lower", "dof_limit_upper",
+        )},
+        "body_mass": s.nbody,
+        "cpoint_friction": len(model.cpoint_body),
+        "cpoint_restitution": len(model.cpoint_body),
+        "tendon_stiffness": nt,
+        "tendon_damping": nt,
+        "gravity": 3,
+    }
     in_rows = [s.nq, s.nv, s.nv]
     if has_xfrc:
         in_rows.append(6 * s.nbody)
     if has_qt:
         in_rows.append(s.nq)
+    in_rows += [dyn_rows[k] for k in dyn_names]
     n_in = len(in_rows)
 
     def run_flat(*args):
@@ -1296,7 +1434,9 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
         xfrc = args[i] if has_xfrc else None
         i += int(has_xfrc)
         qt = args[i] if has_qt else None
-        q2, qd2, bf, bt, doff = run(q, qd, qfrc, xfrc, qt)
+        i += int(has_qt)
+        dyn = dict(zip(dyn_names, args[i:i + len(dyn_names)]))
+        q2, qd2, bf, bt, doff = run(q, qd, qfrc, xfrc, qt, dyn)
         T = q.shape[-1]
         zs = jnp.zeros((nb3, T))
         return (
@@ -1345,7 +1485,7 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
         bto[...] = bt
         dfo[...] = doff
 
-    def call(q, qd, qfrc, xfrc, q_target):
+    def call(q, qd, qfrc, xfrc, q_target, dyn=None):
         def prep(a, rows):
             at = a.reshape(N, rows).T  # (rows, N)
             if Np != N:
@@ -1361,6 +1501,8 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
             ins.append(xf)
         if has_qt:
             ins.append(prep(q_target, s.nq))
+        for k in dyn_names:
+            ins.append(prep(dyn[k].astype(jnp.float32), dyn_rows[k]))
 
         out_rows = [s.nq, s.nv, nb3, nb3, s.nv]
         if use_pallas:
@@ -1388,10 +1530,12 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas):
                 ),
             )(*ins, *const_ins)
         else:
+            i0 = 3 + int(has_xfrc) + int(has_qt)
             q2, qd2, bf, bt, doff = run(
                 ins[0], ins[1], ins[2],
                 ins[3] if has_xfrc else None,
                 ins[3 + int(has_xfrc)] if has_qt else None,
+                dict(zip(dyn_names, ins[i0:i0 + len(dyn_names)])),
             )
             zs = jnp.zeros((nb3, Np))
             outs = (

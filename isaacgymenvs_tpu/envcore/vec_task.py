@@ -468,22 +468,36 @@ class VecTask:
         model_b, params_b, model_axes, params_axes = self._physics_vmap_spec(
             state.dr
         )
-        # fused whole-step kernel path: only when the model/params carry no
-        # per-env DR leaves (the kernel specializes on the static Model)
-        unbatched = (
-            not jax.tree.leaves(model_axes) and not jax.tree.leaves(params_axes)
+        # fused whole-step kernel path: the kernel specializes on the
+        # static Model, but accepts the DR surface (fused.DYN_LEAVES +
+        # gravity) as per-env kernel inputs; anything else batched (e.g.
+        # actor-scale geometry leaves) falls back to the vmap engine
+        batched_names = set()
+        if self.randomizer is not None and state.dr is not None:
+            batched_names = self.randomizer.batched_leaf_names()
+        grav_batched = params_axes.gravity is not None
+        fused_dr_ok = batched_names <= (
+            set(_fused.DYN_LEAVES) | set(_fused.DYN_INERT)
         )
-        fused_on = self._fused_capable and unbatched and (
+        fused_on = self._fused_capable and fused_dr_ok and (
             self.use_fused is True
             or (self.use_fused == "auto" and jax.default_backend() == "tpu")
         )
+        if fused_on:
+            fused_dyn = {
+                n: getattr(model_b, n)
+                for n in batched_names
+                if n in _fused.DYN_LEAVES
+            }
+            if grav_batched:
+                fused_dyn["gravity"] = params_b.gravity
 
         def control_loop(carry, _):
             q, qd = carry
             if fused_on:
                 out = _fused.physics_step_fused(
                     self.model, self.sim_params, q, qd, qfrc,
-                    xfrc=xfrc, q_target=q_target,
+                    xfrc=xfrc, q_target=q_target, dyn=fused_dyn,
                 )
                 sensors = Sensors(out.body_force, out.body_torque, out.dof_force)
                 return (out.q, out.qd), sensors

@@ -239,3 +239,51 @@ def test_yaml_configs_fused_eligible():
         assert fused.fused_supported(
             env.model, env.sim_params, env.terrain
         ), name
+
+
+def test_fused_restitution_matches_vmap():
+    """Newton restitution through the fused math: a bouncing sphere
+    (e=0.8) tracks the vmap engine step-for-step (contacts.solve_contacts
+    bounce_threshold_velocity semantics, previously a fused gate)."""
+    from isaacgymenvs_tpu.engine import SimParams, SimState, physics_step
+    from isaacgymenvs_tpu.model.spec import FREE, GEOM_SPHERE, ModelBuilder
+    from isaacgymenvs_tpu.sdf.builder import add_contact_points
+
+    b = ModelBuilder()
+    body = b.add_body(
+        parent=-1, name="ball", pos=(0, 0, 0), quat=(0, 0, 0, 1),
+        jnt_type=FREE, mass=1.0, inertia=np.eye(3) * 1e-3,
+    )
+    b.qpos0_free[body] = (
+        np.array([0, 0, 1.0], np.float32), np.array([0, 0, 0, 1], np.float32)
+    )
+    b.add_geom(body, GEOM_SPHERE, (0, 0, 0), (0, 0, 0, 1), (0.1, 0, 0), 0.5)
+    m = b.finalize()
+    m, idx = add_contact_points(
+        m, body, np.array([[0.0, 0.0, -0.1]], np.float32), friction=0.5
+    )
+    m = m.replace(cpoint_restitution=jnp.zeros(m.ncp).at[idx[0]].set(0.8))
+    params = SimParams(dt=1 / 120, substeps=2, baumgarte_erp=0.1)
+    assert fused.fused_supported(m, params, None)
+
+    n = 4
+    q = jnp.tile(m.qpos0, (n, 1))
+    qd = jnp.zeros((n, m.nv)).at[:, 2].set(-3.0)
+    zero = jnp.zeros((n, m.nv))
+    vm = jax.jit(jax.vmap(
+        lambda q1, qd1: (lambda o: (o.state.q, o.state.qd))(
+            physics_step(m, SimState(q=q1, qd=qd1), jnp.zeros(m.nv), params)
+        )
+    ))
+    fu = jax.jit(lambda q, qd: fused.physics_step_fused(
+        m, params, q, qd, zero, use_pallas=False
+    ))
+    bounced = False
+    for _ in range(30):
+        q1, qd1 = vm(q, qd)
+        out = fu(q, qd)
+        assert float(jnp.max(jnp.abs(q1 - out.q))) < 2e-5
+        assert float(jnp.max(jnp.abs(qd1 - out.qd))) < 2e-4
+        q, qd = q1, qd1
+        bounced = bounced or float(qd[0, 2]) > 1.8
+    assert bounced  # the rebound actually happened through the fused path
