@@ -287,3 +287,86 @@ def test_fused_restitution_matches_vmap():
         q, qd = q1, qd1
         bounced = bounced or float(qd[0, 2]) > 1.8
     assert bounced  # the rebound actually happened through the fused path
+
+
+def test_fused_dyn_leaves_match_vmap():
+    """Per-env DR leaves as fused-kernel inputs (DYN_LEAVES + gravity)
+    vs the vmap engine with the same batched Model/params leaves."""
+    env = _env("Ant")
+    m, params = env.model, env.sim_params
+    n = 4
+    rng = np.random.RandomState(0)
+    dyn = {
+        "dof_damping": jnp.asarray(
+            np.asarray(m.dof_damping)[None]
+            * rng.uniform(0.5, 2.0, (n, m.nv)), jnp.float32),
+        "dof_stiffness": jnp.asarray(
+            np.asarray(m.dof_stiffness)[None]
+            * rng.uniform(0.8, 1.2, (n, m.nv)), jnp.float32),
+        "armature": jnp.asarray(
+            np.asarray(m.armature)[None]
+            * rng.uniform(0.8, 1.2, (n, m.nv)), jnp.float32),
+        "body_mass": jnp.asarray(
+            np.asarray(m.body_mass)[None]
+            * rng.uniform(0.8, 1.2, (n, m.nbody)), jnp.float32),
+        "cpoint_friction": jnp.asarray(
+            np.asarray(m.cpoint_friction)[None]
+            * rng.uniform(0.7, 1.3, (n, m.ncp)), jnp.float32),
+        "gravity": jnp.asarray(
+            np.asarray(params.gravity)[None]
+            * rng.uniform(0.9, 1.1, (n, 3)), jnp.float32),
+    }
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    q, qd = state.sim.q, state.sim.qd
+    qfrc = jnp.asarray(rng.uniform(-1, 1, (n, m.nv)).astype(np.float32)) * 2.0
+
+    def one(q1, qd1, f1, dd, ds, ar, bm, cf, gv):
+        mb = m.replace(dof_damping=dd, dof_stiffness=ds, armature=ar,
+                       body_mass=bm, cpoint_friction=cf)
+        pb = params.replace(gravity=gv)
+        out = estep.physics_step(mb, SimState(q=q1, qd=qd1), f1, pb)
+        return out.state.q, out.state.qd, out.body_force
+
+    vm = jax.jit(jax.vmap(one))
+    fu = jax.jit(lambda q, qd, f: fused.physics_step_fused(
+        m, params, q, qd, f, use_pallas=False, dyn=dyn))
+    for _ in range(3):
+        q1, qd1, bf1 = vm(q, qd, qfrc, dyn["dof_damping"],
+                          dyn["dof_stiffness"], dyn["armature"],
+                          dyn["body_mass"], dyn["cpoint_friction"],
+                          dyn["gravity"])
+        out = fu(q, qd, qfrc)
+        assert float(jnp.max(jnp.abs(q1 - out.q))) < 2e-5
+        assert float(jnp.max(jnp.abs(qd1 - out.qd))) < 2e-4
+        assert float(jnp.max(jnp.abs(bf1 - out.body_force))) < 2e-2
+        q, qd = q1, qd1
+
+
+def test_fused_dr_env_dispatch():
+    """A DR'd env whose batched leaves all fall in DYN_LEAVES dispatches
+    to the fused kernel (sim.use_fused=True) and matches the vmap path
+    env-for-env (AllegroHandDextremeADR: 7 batched leaves incl. the
+    physics-inert dof_max_effort)."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    def mk(use_fused):
+        cfg = load_config(["task=AllegroHandDextremeADR", "num_envs=4"])[
+            "task"]
+        if use_fused:
+            cfg.setdefault("sim", {})["use_fused"] = True
+        return task_map["AllegroHandDextremeADR"](cfg)
+
+    env_v, env_f = mk(False), mk(True)
+    assert env_f._fused_capable
+    s_v, o_v = env_v.reset(jax.random.PRNGKey(0))
+    s_f, o_f = env_f.reset(jax.random.PRNGKey(0))
+    step_v, step_f = jax.jit(env_v.step), jax.jit(env_f.step)
+    acts = jax.random.uniform(
+        jax.random.PRNGKey(5), (4, env_v.num_acts), minval=-1, maxval=1)
+    for _ in range(3):
+        s_v, o_v, r_v, d_v, _ = step_v(s_v, acts)
+        s_f, o_f, r_f, d_f, _ = step_f(s_f, acts)
+        assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-3
+        assert bool(jnp.all(d_v == d_f))
+    # the fused cache really holds a dyn-leaf entry for this model
+    assert any(len(k[5]) >= 7 for k in fused._CACHE if len(k) > 5)
