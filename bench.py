@@ -35,6 +35,7 @@ TABLE = {
     "Anymal": 4096,
     "FrankaCubeStack": 8192,
     "HumanoidAMP": 4096,
+    "AllegroHandDextremeADR": 8192,
 }
 
 
