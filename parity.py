@@ -44,6 +44,12 @@ MILESTONES = {
     # by either implementation). Budget = ShadowHandPPO.yaml max_epochs
     # 5000 x horizon 8 x 16384 envs.
     "ShadowHand": (3000.0, 5000 * 8 * 16384, 5000),
+    # velocity-command tracking clearly works (converged ~1555 on this
+    # reward scale at the full budget; docs/curves.md)
+    "Anymal": (1400.0, 1000 * 24 * 4096, 3000),
+    # drawer-opening reward consistently above the grasp-and-pull
+    # plateau (converged ~1286 at the full budget)
+    "FrankaCabinet": (1000.0, 1500 * 16 * 4096, 4500),
 }
 
 
