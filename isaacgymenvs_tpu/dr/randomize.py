@@ -214,6 +214,53 @@ class DomainRandomizer:
         self.masks: Dict[str, Optional[jax.Array]] = {
             spec.name: self._leaf_mask(spec) for spec in self.model_specs
         }
+        # external parameter generator (reference actor_params_generator,
+        # vec_task.py:734-744: NPDR/BayesSim-style joint distributions over
+        # all physics params instead of independent per-param draws).
+        # TPU-native contract: a PURE function (key, n) -> (n, P) jnp array
+        # of perturbation factors/offsets laid out per param_info(); it is
+        # traced into the jitted reset, so full-covariance posteriors are
+        # expressed as arrays (see dr.param_generator.FullCovarianceParamGenerator).
+        self.param_generator = None
+        self._flat_layout = self._build_flat_layout()
+
+    def _build_flat_layout(self):
+        """Per-spec (flat-index array, size) into the flattened leaf,
+        restricted to the spec's actor mask -- the flat vector an external
+        generator must produce, in model_specs order."""
+        layout = []
+        for spec in self.model_specs:
+            base = np.asarray(self._leaf_base(spec.leaf))
+            mask = self.masks[spec.name]
+            if mask is None:
+                idx = np.arange(base.size)
+            else:
+                sel = np.broadcast_to(np.asarray(mask), base.shape)
+                idx = np.flatnonzero(sel)
+            layout.append((jnp.asarray(idx), int(idx.size)))
+        return layout
+
+    def param_info(self):
+        """Flat layout of externally-generatable physics params (reference
+        get_actor_params_info, vec_task.py:568-608): ordered
+        {name, leaf, size, lo, hi, operation} dicts, one per actor_params
+        spec; an external generator returns (n, sum(size)) with slices in
+        this order. lo/hi are the YAML ranges (advisory bounds for the
+        generator's support, exactly like the reference reports them)."""
+        return [
+            {
+                "name": spec.name,
+                "leaf": spec.leaf,
+                "size": size,
+                "lo": spec.lo,
+                "hi": spec.hi,
+                "operation": spec.operation,
+            }
+            for spec, (_, size) in zip(self.model_specs, self._flat_layout)
+        ]
+
+    def num_extern_params(self) -> int:
+        return sum(size for _, size in self._flat_layout)
 
     def _leaf_base(self, leaf: str):
         v = getattr(self.model, leaf)
@@ -265,7 +312,12 @@ class DomainRandomizer:
         a range edge)."""
         adr = adr or {}
         out = {}
-        for spec in self.model_specs:
+        gen_vals = None
+        gen_off = 0
+        if self.param_generator is not None:
+            key, kg = jax.random.split(key)
+            gen_vals = jnp.asarray(self.param_generator(kg, n))
+        for spec, (flat_idx, size) in zip(self.model_specs, self._flat_layout):
             key, k = jax.random.split(key)
             base = self._leaf_base(spec.leaf)
             ov = adr.get(spec.name)
@@ -274,6 +326,16 @@ class DomainRandomizer:
                 lo=None if ov is None else ov["lo"],
                 hi=None if ov is None else ov["hi"],
             )
+            if gen_vals is not None:
+                # external joint sample replaces the independent draw on the
+                # spec's actor-masked entries (identity elsewhere, exactly
+                # like the masked independent path)
+                piece = gen_vals[:, gen_off : gen_off + size]
+                gen_off += size
+                flat = jnp.full((n, base.size), _identity_value(spec),
+                                piece.dtype)
+                flat = flat.at[:, flat_idx].set(piece)
+                v = flat.reshape((n,) + base.shape)
             if ov is not None and ov.get("pin_mask") is not None:
                 pin_mask = ov["pin_mask"].reshape((n,) + (1,) * base.ndim)
                 pin_val = ov["pin_val"].reshape((n,) + (1,) * base.ndim)

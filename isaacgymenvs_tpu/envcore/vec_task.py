@@ -243,6 +243,30 @@ class VecTask:
         None = every spec touches the whole model leaf."""
         return None
 
+    def set_param_generator(self, generator):
+        """Install an external physics-parameter generator (the reference's
+        `actor_params_generator` hook, vec_task.py:734-744 -- NPDR/BayesSim
+        joint posteriors over simulation params). `generator` is a pure
+        callable (key, n) -> (n, P) traced into the jitted reset; P and the
+        slice layout come from get_actor_params_info(). Requires
+        task.randomize=True (there must be actor_params specs to override)."""
+        if self.randomizer is None:
+            raise ValueError(
+                "set_param_generator needs task.randomize=True with "
+                "actor_params randomization specs"
+            )
+        if generator is not None and not callable(generator):
+            raise TypeError("generator must be callable (key, n) -> (n, P)")
+        self.randomizer.param_generator = generator
+
+    def get_actor_params_info(self):
+        """Flat layout the external generator must produce (reference
+        vec_task.py:568-608): list of {name, leaf, size, lo, hi, operation}
+        in sample order, or None when DR is off."""
+        if self.randomizer is None:
+            return None
+        return self.randomizer.param_info()
+
     def population_update(self, task, done, progress):
         """Full-batch (NOT vmapped) task update after reward_done: for
         population-level curricula that need cross-env statistics, e.g.

@@ -195,3 +195,53 @@ def test_per_key_observation_noise():
     for k in ("object_pose_cam", "goal_relative_rot_cam", "last_actions"):
         off, size = sl[k]
         assert np.abs(o[:, off : off + size]).max() == 0, k
+
+
+def test_external_param_generator():
+    """Reference actor_params_generator hook (vec_task.py:734-744):
+    an external joint distribution replaces the independent per-param
+    draws; get_actor_params_info gives the flat layout."""
+    from isaacgymenvs_tpu.dr import FullCovarianceParamGenerator
+
+    env = _env(4)
+    info = env.get_actor_params_info()
+    names = [i["name"] for i in info]
+    assert names == [s.name for s in env.randomizer.model_specs]
+    P = env.randomizer.num_extern_params()
+    assert P == sum(i["size"] for i in info)
+    # deterministic generator (zero covariance): every sampled factor is
+    # exactly the mean -> the batched model is exactly base * mean
+    mean = np.full(P, 1.25, np.float32)
+    # the additive dof lower-limit spec must get offset 0, not factor 1.25
+    off = 0
+    for i in info:
+        if i["operation"] == "additive":
+            mean[off : off + i["size"]] = 0.0
+        off += i["size"]
+    gen = FullCovarianceParamGenerator(mean, cov=np.zeros((P, P)))
+    env.set_param_generator(gen)
+    s = env.randomizer.sample(jax.random.PRNGKey(0), 4,
+                              jnp.zeros((), jnp.int32))
+    mass = np.asarray(s["ant.rigid_body_properties.mass"])
+    np.testing.assert_allclose(mass, 1.25, rtol=1e-6)
+    bm = env.randomizer.batched_model(env.model, s)
+    np.testing.assert_allclose(
+        np.asarray(bm.body_mass),
+        np.broadcast_to(np.asarray(env.model.body_mass) * 1.25, (4, 9)),
+        rtol=1e-5,
+    )
+    # full-covariance draws actually correlate params: cov with perfect
+    # correlation between the first two entries
+    cov = np.eye(P, dtype=np.float32) * 1e-4
+    cov[0, 1] = cov[1, 0] = 1e-4
+    gen2 = FullCovarianceParamGenerator(np.ones(P), cov=cov)
+    draws = np.asarray(gen2(jax.random.PRNGKey(1), 512))
+    c = np.corrcoef(draws[:, 0], draws[:, 1])[0, 1]
+    assert c > 0.95
+    # end-to-end: the jitted reset path consumes the generator
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        np.asarray(state.dr["ant.rigid_body_properties.mass"]), 1.25,
+        rtol=1e-6,
+    )
+    assert np.isfinite(np.asarray(obs)).all()
