@@ -16,10 +16,10 @@ BOUNDARY worker envs that pin one parameter at a range edge:
   * range entropy (mean log width, 'nats') tracks progress (:767).
 
 Everything is a fixed-shape array program living inside the jitted env
-step: queues are (2P, Q) rings; per-step boundary pushes are mean-reduced
-per boundary (at most one entry per boundary per step -- a deliberate,
-documented divergence from the reference's per-env pushes that keeps the
-scatter shapes static).
+step: queues are (2P, Q) rings with PER-ENV pushes (reference
+adr_vec_task.py:556 semantics) -- finished boundary envs are grouped by
+boundary id, ranked within their group, and scattered into consecutive
+ring slots with a static-shape scatter (see update()).
 """
 from __future__ import annotations
 

@@ -20,6 +20,8 @@ not applied inside the implicit PD drive (stiffness/damping match).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,8 +74,23 @@ class AllegroKukaReorientation(VecTask):
         # full_state composition (:185-232): 93 fixed dims + 6 per keypoint
         self.num_obs = self._full_state_size()
         self.num_acts = 23 * getattr(self, "NUM_ARMS", 1)
+        # initial-state bank (reference allegro_kuka_base.py:95-101,
+        # 1493-1600: saveStates accumulates per-episode snapshots dumped
+        # to a binary file; loadInitialStates resets envs from that bank
+        # instead of the random spawn). TPU-native: snapshots are (q, qd)
+        # generalized-coordinate rows in a .npz; loading folds the bank
+        # into the jitted reset as constant arrays + a random gather.
+        self.save_states = bool(env.get("saveStates", False))
+        self.save_states_file = str(env.get("saveStatesFile", ""))
+        self.load_initial_states = bool(env.get("loadInitialStates", False))
+        self.load_states_file = str(env.get("loadStatesFile", ""))
+        self._episode_q = []  # host-side accumulation [(N, nq) snapshots]
+        self._episode_qd = []
+        self.initial_q = self.initial_qd = None
         super().__init__(cfg)
         self._setup()
+        if self.load_initial_states:
+            self._load_initial_states()
 
     def _full_state_size(self):
         """Overridden by the two-arms family (per-arm obs blocks)."""
@@ -171,6 +188,57 @@ class AllegroKukaReorientation(VecTask):
         self.vol_lo = jnp.array([-0.4, -0.05, -0.12])
         self.vol_hi = jnp.array([0.4, 0.3, 0.25])
 
+    # ---- initial-state bank (reference :1493-1600) ----------------------
+    def accumulate_env_states(self, state):
+        """Host-side: snapshot every env's generalized state from a live
+        EnvState (the reference accumulates per step during rollouts,
+        allegro_kuka_base.py:1493-1504)."""
+        self._episode_q.append(np.asarray(state.sim.q))
+        self._episode_qd.append(np.asarray(state.sim.qd))
+
+    def dump_env_states(self, path=None, rng=None):
+        """Downsample accumulated snapshots (per env: len//10, max 50 --
+        the reference's sampling rule, :1506-1544) and append them to the
+        .npz bank at `path` (default saveStatesFile)."""
+        path = path or self.save_states_file
+        if not path:
+            raise ValueError("dump_env_states needs a path or saveStatesFile")
+        if not self._episode_q:
+            return 0
+        rng = np.random.default_rng(rng)
+        ep_len = len(self._episode_q)
+        qs = np.stack(self._episode_q)   # (T, N, nq)
+        qds = np.stack(self._episode_qd)
+        rows_q, rows_qd = [], []
+        if ep_len > 20:
+            n_save = min(ep_len // 10, 50)
+            for e in range(qs.shape[1]):
+                t_idx = rng.choice(ep_len, size=n_save, replace=False)
+                rows_q.append(qs[t_idx, e])
+                rows_qd.append(qds[t_idx, e])
+        self._episode_q, self._episode_qd = [], []
+        if not rows_q:
+            return 0
+        new_q = np.concatenate(rows_q)
+        new_qd = np.concatenate(rows_qd)
+        if os.path.exists(path):
+            old = np.load(path)
+            new_q = np.concatenate([old["q"], new_q])
+            new_qd = np.concatenate([old["qd"], new_qd])
+        np.savez(path, q=new_q, qd=new_qd)
+        return len(new_q)
+
+    def _load_initial_states(self):
+        bank = np.load(self.load_states_file)
+        q, qd = bank["q"], bank["qd"]
+        if q.shape[1] != self.model.nq or qd.shape[1] != self.model.nv:
+            raise ValueError(
+                f"state bank shape {q.shape}/{qd.shape} does not match "
+                f"model nq={self.model.nq} nv={self.model.nv}"
+            )
+        self.initial_q = jnp.asarray(q, jnp.float32)
+        self.initial_qd = jnp.asarray(qd, jnp.float32)
+
     # ---- init ---------------------------------------------------------
     def _sample_goal(self, key):
         kp_, kr = jax.random.split(key)
@@ -210,6 +278,14 @@ class AllegroKukaReorientation(VecTask):
         q = q.at[self.oq + 3 : self.oq + 7].set(
             maths.quat_from_angle_axis(yaw, jnp.array([0.0, 0, 1]))
         )
+        if self.initial_q is not None:
+            # reset from the loaded bank (reference :1292-1311: consecutive
+            # rows per reset batch; a uniform gather is the batched analogue)
+            kb = jax.random.fold_in(kd, 1)
+            idx = jax.random.randint(kb, (), 0, self.initial_q.shape[0])
+            q = self.initial_q[idx]
+            qd = self.initial_qd[idx]
+            dof = q[self.q_idx]
         goal_pos, goal_rot = self._sample_goal(kg)
         task = {
             "goal_pos": goal_pos,
