@@ -50,6 +50,15 @@ MILESTONES = {
     # drawer-opening reward consistently above the grasp-and-pull
     # plateau (converged ~1286 at the full budget)
     "FrankaCabinet": (1000.0, 1500 * 16 * 4096, 4500),
+    # sustained flight to the moving target (per-step max 7 at a perfect
+    # on-target upright hover, 2000-step episodes; see docs/curves.md)
+    "Ingenuity": (3000.0, 500 * 16 * 4096, 1500),
+    # stable hover at the z=1 target (per-step max 3, 500-step episodes)
+    "Quadcopter": (800.0, 500 * 8 * 8192, 1500),
+    # AnymalTerrain: 13-term velocity-tracking reward on procedural
+    # terrain with a level curriculum; milestone = the linear+angular
+    # tracking terms dominating (docs/curves.md discusses the scale)
+    "AnymalTerrain": (18.0, 1500 * 24 * 4096, 4500),
 }
 
 
