@@ -317,6 +317,13 @@ class DomainRandomizer:
         if self.param_generator is not None:
             key, kg = jax.random.split(key)
             gen_vals = jnp.asarray(self.param_generator(kg, n))
+            want = (n, self.num_extern_params())
+            if gen_vals.shape != want:
+                raise ValueError(
+                    f"external param generator returned {gen_vals.shape}, "
+                    f"expected {want}; columns must follow param_info(): "
+                    f"{[p['name'] for p in self.param_info()]}"
+                )
         for spec, (flat_idx, size) in zip(self.model_specs, self._flat_layout):
             key, k = jax.random.split(key)
             base = self._leaf_base(spec.leaf)

@@ -767,6 +767,17 @@ class PPO:
                     },
                     frames,
                 )
+            # saveStates wiring (reference allegro_kuka_base accumulates in
+            # post_physics_step and dumps at reset). Per-step host pulls
+            # would serialize the jitted epoch, so the TPU-native cadence is
+            # one (q, qd) snapshot per epoch (= one rollout horizon apart),
+            # dumped through the task's own downsampling rule every 50
+            # epochs and at exit.
+            if main and getattr(self.env, "save_states", False) \
+                    and getattr(self.env, "save_states_file", ""):
+                self.env.accumulate_env_states(ts.env_state)
+                if epoch % 50 == 0:
+                    self.env.dump_env_states()
             stop_requested = False
             if on_epoch is not None:
                 stop_requested = bool(on_epoch(ts, last_metrics))
@@ -796,6 +807,9 @@ class PPO:
                 if main:
                     print(f"score_to_win {cfg.score_to_win} reached at epoch {epoch}")
                 break
+        if main and getattr(self.env, "save_states", False) \
+                and getattr(self.env, "save_states_file", ""):
+            self.env.dump_env_states()
         if nn_dir is not None:
             self.save(
                 os.path.join(nn_dir, f"last_{name}.ckpt"),

@@ -216,7 +216,10 @@ class AllegroKukaReorientation(VecTask):
                 t_idx = rng.choice(ep_len, size=n_save, replace=False)
                 rows_q.append(qs[t_idx, e])
                 rows_qd.append(qds[t_idx, e])
-        self._episode_q, self._episode_qd = [], []
+            # only drop the accumulation once rows were actually saved;
+            # short-episode dumps keep accumulating (reference keeps
+            # per-env buffers until an episode is dumped)
+            self._episode_q, self._episode_qd = [], []
         if not rows_q:
             return 0
         new_q = np.concatenate(rows_q)
@@ -280,12 +283,14 @@ class AllegroKukaReorientation(VecTask):
         )
         if self.initial_q is not None:
             # reset from the loaded bank (reference :1292-1311: consecutive
-            # rows per reset batch; a uniform gather is the batched analogue)
+            # rows per reset batch; a uniform gather is the batched analogue).
+            # PD targets stay at the freshly randomized dof pose, matching
+            # the reference, which keeps prev/cur_targets at the randomized
+            # allegro_pos after loading bank dof states (:1300-1311).
             kb = jax.random.fold_in(kd, 1)
             idx = jax.random.randint(kb, (), 0, self.initial_q.shape[0])
             q = self.initial_q[idx]
             qd = self.initial_qd[idx]
-            dof = q[self.q_idx]
         goal_pos, goal_rot = self._sample_goal(kg)
         task = {
             "goal_pos": goal_pos,

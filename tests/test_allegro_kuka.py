@@ -121,3 +121,30 @@ def test_initial_state_bank_roundtrip(tmp_path):
         dmin = np.abs(data["q"] - q2[e][None]).max(axis=-1).min()
         assert dmin < 1e-5, f"env {e} q not from bank (min dev {dmin})"
     assert np.isfinite(np.asarray(obs2)).all()
+
+
+def test_save_states_wired_into_train_loop(tmp_path, monkeypatch):
+    """saveStates=True + saveStatesFile wires snapshot accumulation into
+    PPO.train (one per epoch) and dumps through the task's sampling rule
+    at exit (reference auto-accumulates in post_physics_step and dumps at
+    reset; the TPU cadence is per-epoch — learn/ppo.py train loop)."""
+    from isaacgymenvs_tpu.learn import PPO
+
+    bank = str(tmp_path / "bank.npz")
+    env = make(num_envs=2, saveStates=True, saveStatesFile=bank)
+    calls = {"acc": 0, "dump": 0}
+    real_acc = env.accumulate_env_states
+    monkeypatch.setattr(
+        env, "accumulate_env_states",
+        lambda s: (calls.__setitem__("acc", calls["acc"] + 1), real_acc(s)),
+    )
+    monkeypatch.setattr(
+        env, "dump_env_states",
+        lambda *a, **k: calls.__setitem__("dump", calls["dump"] + 1),
+    )
+    agent = PPO(env, {"config": {"horizon_length": 4, "minibatch_size": 8,
+                                 "mini_epochs": 1, "max_epochs": 2}}, seed=0)
+    agent.train(max_epochs=2, log_every=100)
+    assert calls["acc"] == 2      # one snapshot per epoch
+    assert calls["dump"] == 1     # final dump at exit
+    assert len(env._episode_q) == 2
