@@ -23,8 +23,11 @@ from .anymal import Anymal
 from .anymal_terrain import AnymalTerrain
 from .ball_balance import BallBalance
 from .cartpole import Cartpole
-from .factory_nut_bolt import FactoryTaskNutBoltPlace, FactoryTaskNutBoltScrew
-from .factory_nut_bolt_pick import FactoryTaskNutBoltPick
+from .factory_nut_bolt import (
+    FactoryTaskNutBoltPick,
+    FactoryTaskNutBoltPlace,
+    FactoryTaskNutBoltScrew,
+)
 from .franka_cabinet import FrankaCabinet
 from .franka_cube_stack import FrankaCubeStack
 from .humanoid import Humanoid
@@ -41,8 +44,37 @@ from .quadcopter import Quadcopter
 from .trifinger import Trifinger
 from .shadow_hand import ShadowHand
 
+def resolve_allegro_kuka(cfg, *args, **kwargs):
+    """Reference resolve_allegro_kuka (tasks/__init__.py:60-72):
+    `task=AllegroKuka` dispatches on cfg.env.subtask."""
+    subtask_map = dict(
+        reorientation=AllegroKukaReorientation,
+        regrasping=AllegroKukaRegrasping,
+        throw=AllegroKukaThrow,
+    )
+    name = (cfg.get("env") or {}).get("subtask") or "reorientation"
+    if name not in subtask_map:
+        raise ValueError(f"Unknown subtask={name} in {sorted(subtask_map)}")
+    return subtask_map[name](cfg, *args, **kwargs)
+
+
+def resolve_allegro_kuka_two_arms(cfg, *args, **kwargs):
+    """Reference resolve_allegro_kuka_two_arms (tasks/__init__.py:74-85)."""
+    subtask_map = dict(
+        reorientation=AllegroKukaTwoArmsReorientation,
+        regrasping=AllegroKukaTwoArmsRegrasping,
+    )
+    name = (cfg.get("env") or {}).get("subtask") or "reorientation"
+    if name not in subtask_map:
+        raise ValueError(f"Unknown subtask={name} in {sorted(subtask_map)}")
+    return subtask_map[name](cfg, *args, **kwargs)
+
+
 task_map: Dict[str, Type[VecTask]] = {
     "AllegroHand": AllegroHand,
+    # reference registry entries resolving the subtask from cfg.env.subtask
+    "AllegroKuka": resolve_allegro_kuka,
+    "AllegroKukaTwoArms": resolve_allegro_kuka_two_arms,
     "AllegroKukaReorientation": AllegroKukaReorientation,
     "AllegroKukaRegrasping": AllegroKukaRegrasping,
     "AllegroKukaThrow": AllegroKukaThrow,
