@@ -36,6 +36,18 @@ TABLE = {
     "FrankaCubeStack": 8192,
     "HumanoidAMP": 4096,
     "AllegroHandDextremeADR": 8192,
+    "BallBalance": 4096,
+    "AnymalTerrain": 4096,
+    "FrankaCabinet": 4096,
+    "Ingenuity": 4096,
+    "Quadcopter": 8192,
+    "Trifinger": 16384,
+    "AllegroKukaReorientation": 8192,
+    # Factory-class tasks run at the reference's own 128-env operating
+    # point (cfg/task/FactoryTaskNutBoltPick.yaml numEnvs) — absolute
+    # env-steps/s is bounded by the tiny batch, not the engine
+    "FactoryTaskNutBoltPick": 128,
+    "IndustRealTaskPegsInsert": 128,
 }
 
 

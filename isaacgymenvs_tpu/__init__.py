@@ -15,6 +15,25 @@ import jax as _jax
 # layers that want bf16 opt in explicitly with dtype/precision annotations.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the fused whole-step Mosaic kernels and the
+# jitted PPO epoch take tens of seconds to compile; caching them on disk
+# makes every later train/bench/test invocation start in seconds. Opt out
+# with IGE_TPU_NO_COMPILE_CACHE=1 (e.g. when benchmarking compile time).
+import os as _os
+
+if not _os.environ.get("IGE_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", "isaacgymenvs_tpu_xla"
+        ),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs: run uncached
+        pass
+
 from . import maths  # noqa: F401
 
 
