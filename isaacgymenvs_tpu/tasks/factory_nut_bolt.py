@@ -380,8 +380,15 @@ class NutBoltBase(VecTask):
         return pos, quat, com, linvel, angvel
 
     # ---- control -------------------------------------------------------
+    def _scripted_overlay(self, action, task):
+        """Hook for scripted non-RL control phases (Pick's close-and-lift,
+        reference factory_task_nut_bolt_pick.py:146-150): returns the
+        effective (action, gripper_dof_target) for this step."""
+        return action, self.gripper_target
+
     def compute_force(self, action, q, qd, task):
         m = self.model
+        action, grip_target = self._scripted_overlay(action, task)
         kin = _dyn.forward_kinematics(m, q, qd, self._meta)
         eef, eq, elin, eang = self._fingertip(kin)
         dpos = action[0:3] * self.pos_action_scale
@@ -418,7 +425,7 @@ class NutBoltBase(VecTask):
         f = -self.franka_mass[:, None] * self.sim_params.gravity[None, :]
         xfrc = jnp.concatenate([jnp.cross(com, f), f], axis=-1)
         q_target = jnp.zeros(m.nq).at[self.q_idx[7:]].set(
-            jnp.full(2, self.gripper_target)
+            jnp.zeros(2) + grip_target
         )
         return qfrc, xfrc, q_target
 
@@ -433,6 +440,170 @@ class NutBoltBase(VecTask):
 # nut is yawed pi/2 in the world frame (reference place reset :258) --
 # validated against the mesh in tests/test_factory_sdf.py
 NUT_GRIP_YAW = np.pi / 2
+
+
+class FactoryTaskNutBoltPick(NutBoltBase):
+    """Reference factory_task_nut_bolt_pick.py: a Franka reaches for an
+    M16 nut resting on the work surface next to the bolt and grasps it.
+    obs 20 (fingertip midpoint pos/quat/linvel/angvel + nut grasp
+    pos/quat, compute_observations :158-169) / act 12; keypoint reward
+    between gripper and nut-grasp keypoint lines (:186-202 +
+    _get_keypoint_offsets); joint_space_id control (dls IK, gains 40/8).
+
+    The nut is the real SDF-voxelized hex mesh and the fingers carry pad
+    points queried against it (NutBoltBase) — the PhysX-SDF-collision
+    replacement; the bolt stands on the table like the reference scene.
+
+    close_and_lift (:146-150, cfg env.close_and_lift): the reference runs
+    25 scripted gripper-close + 25 lift sim steps inside the last RL step,
+    then scores _check_lift_success (:379-387). TPU-native: those scripted
+    steps are folded INTO the episode tail (episodeLength += close+lift
+    steps) with policy actions overridden and reward zeroed — success
+    still scores nut height > 3x nut height at the final step. With the
+    reference's success_bonus = 0.0 this changes no training signal; the
+    success fraction lands in extras['successes'].
+
+    Documented divergence: the reference's scripted pre-episode
+    _randomize_gripper_pose (:389, 20 sim steps under the controller) is
+    replaced by joint-space noise on the arm's initial dof pos.
+    """
+
+    ctrl_mode = "joint_space_id"
+    gripper_target = 0.04  # fingers open during the RL phase
+
+    def __init__(self, cfg):
+        rl = cfg.get("rl", {})
+        envc = cfg.setdefault("env", {})
+        self.close_and_lift = bool(envc.get("close_and_lift", True))
+        self.close_steps = int(envc.get("num_gripper_close_sim_steps", 25))
+        self.lift_steps = int(envc.get("num_gripper_lift_sim_steps", 25))
+        self.rl_len = int(rl.get("max_episode_length", 100))
+        scripted = (
+            self.close_steps + self.lift_steps if self.close_and_lift else 0
+        )
+        envc["episodeLength"] = self.rl_len + scripted
+        self.num_obs = 20
+        self.num_acts = 12
+        super().__init__(cfg)
+        r = self.rand_cfg
+        self.arm_init = jnp.asarray(
+            r.get(
+                "franka_arm_initial_dof_pos",
+                [0.3413, -0.8011, -0.0670, -1.8299, 0.0266, 1.0185, 1.0927],
+            )
+        )
+        self.nut_xy_init = jnp.asarray(r.get("nut_pos_xy_initial", [0.0, -0.3]))
+        self.nut_xy_noise = jnp.asarray(
+            r.get("nut_pos_xy_initial_noise", [0.1, 0.1])
+        )
+        self.bolt_xy_init = jnp.asarray(r.get("bolt_pos_xy_initial", [0.0, 0.0]))
+        self.bolt_xy_noise = jnp.asarray(r.get("bolt_pos_xy_noise", [0.1, 0.1]))
+        self.arm_joint_noise = float(r.get("arm_joint_noise", 0.02))
+        # grasp frame: fingers-down onto the nut top face (pi about x)
+        self.down_quat = jnp.array([1.0, 0.0, 0.0, 0.0])
+
+    def sample_init(self, rng):
+        m = self.model
+        ka, kn, ky, kb = jax.random.split(rng, 4)
+        arm = self.arm_init + self.arm_joint_noise * jax.random.uniform(
+            ka, (7,), minval=-1.0, maxval=1.0
+        )
+        fingers = jnp.full(2, self.gripper_target)
+        q = m.qpos0.at[self.q_idx].set(jnp.concatenate([arm, fingers]))
+        xy = self.nut_xy_init + self.nut_xy_noise * jax.random.uniform(
+            kn, (2,), minval=-1.0, maxval=1.0
+        )
+        yaw = jax.random.uniform(ky, (), minval=-jnp.pi, maxval=jnp.pi)
+        nq = self.nq
+        q = q.at[nq : nq + 2].set(xy)
+        q = q.at[nq + 2].set(0.0)  # nut base on the work surface
+        q = q.at[nq + 3 : nq + 7].set(
+            maths.quat_from_angle_axis(yaw, jnp.array([0.0, 0, 1.0]))
+        )
+        bolt_xy = self.bolt_xy_init + self.bolt_xy_noise * jax.random.uniform(
+            kb, (2,), minval=-1.0, maxval=1.0
+        )
+        q = q.at[self.bolt_q : self.bolt_q + 2].set(bolt_xy)
+        return q, jnp.zeros(m.nv), {"t": jnp.zeros((), jnp.int32)}
+
+    # ---- scripted close-and-lift tail ---------------------------------
+    def _phase(self, cur):
+        """cur = current progress; returns (in_close, in_lift)."""
+        close_start = self.rl_len - 1
+        lift_start = close_start + self.close_steps
+        in_close = (cur >= close_start) & (cur < lift_start)
+        in_lift = cur >= lift_start
+        return in_close, in_lift
+
+    def _scripted_overlay(self, action, task):
+        if not self.close_and_lift:
+            return action, self.gripper_target
+        cur = task["t"] + 1  # task["t"] = progress recorded last step
+        in_close, in_lift = self._phase(cur)
+        scripted = in_close | in_lift
+        a = jnp.where(scripted, jnp.zeros_like(action), action)
+        # open-loop lift: +0.3 m z target offset per step (reference
+        # _lift_gripper :367-375, lift_distance applied each sim step)
+        a = a.at[2].set(
+            jnp.where(in_lift, 0.3 / self.pos_action_scale[2], a[2])
+        )
+        grip = jnp.where(scripted, 0.0, self.gripper_target)
+        return a, grip
+
+    # ---- obs / reward ---------------------------------------------------
+    def _grasp_pose(self, q):
+        nq = self.nq
+        pos = q[nq : nq + 3] + jnp.array([0.0, 0.0, NUT_HEIGHT / 2])
+        quat = maths.quat_mul(q[nq + 3 : nq + 7], self.down_quat)
+        return pos, quat
+
+    def observe(self, q, qd, kin, sensors, task, actions, progress):
+        eef, eq, elin, eang = self._fingertip(kin)
+        grasp_pos, grasp_quat = self._grasp_pose(q)
+        return jnp.concatenate([eef, eq, elin, eang, grasp_pos, grasp_quat])
+
+    def _keypoint_dist(self, q, kin):
+        eef, eq, _, _ = self._fingertip(kin)
+        grasp_pos, grasp_quat = self._grasp_pose(q)
+        kp_gripper = eef[None, :] + maths.quat_rotate(
+            jnp.broadcast_to(eq, (self.num_keypoints, 4)),
+            self.keypoint_offsets,
+        )
+        kp_nut = grasp_pos[None, :] + maths.quat_rotate(
+            jnp.broadcast_to(grasp_quat, (self.num_keypoints, 4)),
+            self.keypoint_offsets,
+        )
+        return jnp.sum(jnp.linalg.norm(kp_nut - kp_gripper, axis=-1))
+
+    def _lift_success(self, q):
+        """_check_lift_success(height_multiple=3.0): nut base above 3x its
+        height over the work surface (:379-387)."""
+        return (q[self.nq + 2] > 3.0 * NUT_HEIGHT).astype(jnp.float32)
+
+    def reward_done(self, obs, q, qd, kin, sensors, task, actions, progress):
+        dist = self._keypoint_dist(q, kin)
+        reward = (
+            -dist * self.keypoint_reward_scale
+            - jnp.linalg.norm(actions) * self.action_penalty_scale
+        )
+        if self.close_and_lift:
+            in_close, in_lift = self._phase(progress)
+            reward = jnp.where(in_close | in_lift, 0.0, reward)
+        last = progress >= self.max_episode_length - 1
+        reward = reward + jnp.where(
+            last, self._lift_success(q) * self.success_bonus, 0.0
+        )
+        return reward, last, {"t": progress}
+
+    def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
+        last = progress >= self.max_episode_length - 1
+        return {"successes": jnp.where(last, self._lift_success(q), 0.0)}
+
+    def true_objective(self, q, qd):
+        grasp_pos = q[self.nq : self.nq + 3] + jnp.array(
+            [0.0, 0.0, NUT_HEIGHT / 2]
+        )
+        return -jnp.linalg.norm(grasp_pos)
 
 
 class FactoryTaskNutBoltPlace(NutBoltBase):
