@@ -71,6 +71,13 @@ class PPOConfig(NamedTuple):
     save_frequency: int = 0
     min_lr: float = 1e-6
     max_lr: float = 1e-2
+    # shard-local minibatch shuffle: permute rollout rows only within each
+    # mesh env-shard (the same index permutation on every shard), so the
+    # global shuffle's rollout all-gather disappears from the sharded
+    # epoch. Matches the reference semantics more closely than a global
+    # shuffle (rl_games shuffles per-process, SCALING.md). Off by default:
+    # it changes same-seed trajectories vs the global shuffle.
+    local_shuffle: bool = False
 
     @classmethod
     def from_train_cfg(cls, params: Dict[str, Any]) -> "PPOConfig":
@@ -101,6 +108,7 @@ class PPOConfig(NamedTuple):
             max_epochs=int(c.get("max_epochs", 500)),
             score_to_win=float(c.get("score_to_win", 1e9)),
             save_frequency=int(c.get("save_frequency", 0)),
+            local_shuffle=bool(c.get("local_shuffle", False)),
         )
 
 
@@ -202,6 +210,9 @@ class PPO:
             )
         else:
             self.tx = optax.scale_by_adam(eps=1e-8)
+        # local_shuffle shard count; train() sets it from the mesh before
+        # the first (lazy) trace of _train_epoch
+        self._shuffle_shards = 1
         # NOTE: no donate_argnums -- buffer donation triggers InvalidArgument
         # on the axon-tunnel TPU backend (works on real local chips; revisit)
         self._train_epoch = jax.jit(self.train_epoch)
@@ -463,9 +474,24 @@ class PPO:
         ts = ts.replace(value_rms=value_rms)
 
         B = self.batch_size
+        # S > 1: shard-blocked dataset layout (S, B/S, ...) -- rows stay on
+        # their env shard, the permutation indexes within shards only, and
+        # the sharded epoch compiles with no rollout all-gather
+        # (cfg.local_shuffle; SCALING.md)
+        S = self._shuffle_shards if cfg.local_shuffle else 1
 
-        def flat(x):
-            return x.reshape((B,) + x.shape[2:])
+        if S > 1:
+
+            def flat(x):
+                T, N = x.shape[0], x.shape[1]
+                y = x.reshape((T, S, N // S) + x.shape[2:])
+                y = jnp.swapaxes(y, 0, 1)  # (S, T, N/S, ...)
+                return y.reshape((S, T * (N // S)) + x.shape[2:])
+
+        else:
+
+            def flat(x):
+                return x.reshape((B,) + x.shape[2:])
 
         adv = flat(advantages)
         if cfg.normalize_advantage:
@@ -474,6 +500,8 @@ class PPO:
         nobs_all = flat(self._norm_obs(ts.obs_rms, traj.obs))
         if self.use_central_value:
             nstates_all = flat(self._norm_states(ts.state_rms, traj.states))
+        elif S > 1:
+            nstates_all = jnp.zeros((S, B // S, 1))
         else:
             nstates_all = jnp.zeros((B, 1))
         dataset = (
@@ -491,11 +519,25 @@ class PPO:
         def mini_epoch(carry, _):
             params, opt_state, lr, key = carry
             key, kperm = jax.random.split(key)
-            perm = jax.random.permutation(kperm, B)
-            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+            if S > 1:
+                # one permutation over the per-shard row range, applied
+                # identically on every shard: minibatches stay balanced
+                # across shards and no row crosses a shard boundary
+                perm = jax.random.permutation(kperm, B // S)
+                shuffled = jax.tree.map(lambda x: x[:, perm], dataset)
+            else:
+                perm = jax.random.permutation(kperm, B)
+                shuffled = jax.tree.map(lambda x: x[perm], dataset)
 
             def minibatch(carry, mb):
                 params, opt_state, lr = carry
+                if S > 1:  # merge (S, mb/S, ...) -> (mb, ...): shard-local
+                    mb = jax.tree.map(
+                        lambda x: x.reshape(
+                            (self.minibatch_size,) + x.shape[2:]
+                        ),
+                        mb,
+                    )
                 grads, aux = jax.grad(self._loss, has_aux=True)(
                     params, mb, value_rms
                 )
@@ -506,12 +548,30 @@ class PPO:
                 lr = self._update_lr(lr, kl)
                 return (params, opt_state, lr), aux
 
-            mbs = jax.tree.map(
-                lambda x: x.reshape(
-                    (self.num_minibatches, self.minibatch_size) + x.shape[1:]
-                ),
-                shuffled,
-            )
+            if S > 1:
+                mbs = jax.tree.map(
+                    lambda x: jnp.moveaxis(
+                        x.reshape(
+                            (
+                                S,
+                                self.num_minibatches,
+                                self.minibatch_size // S,
+                            )
+                            + x.shape[2:]
+                        ),
+                        1,
+                        0,
+                    ),
+                    shuffled,
+                )
+            else:
+                mbs = jax.tree.map(
+                    lambda x: x.reshape(
+                        (self.num_minibatches, self.minibatch_size)
+                        + x.shape[1:]
+                    ),
+                    shuffled,
+                )
             (params, opt_state, lr), auxs = jax.lax.scan(
                 minibatch, (params, opt_state, lr), mbs
             )
@@ -705,6 +765,16 @@ class PPO:
             from ..parallel import shard_train_state
 
             ts = shard_train_state(ts, mesh)
+            if cfg.local_shuffle:
+                S = int(mesh.shape.get("env", 1))
+                if self.minibatch_size % S or self.env.num_envs % S:
+                    raise ValueError(
+                        f"local_shuffle needs minibatch_size "
+                        f"{self.minibatch_size} and num_envs "
+                        f"{self.env.num_envs} divisible by the env-shard "
+                        f"count {S}"
+                    )
+                self._shuffle_shards = S
         nn_dir = None
         if train_dir:
             nn_dir = os.path.join(train_dir, name, "nn")

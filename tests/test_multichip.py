@@ -53,3 +53,68 @@ def test_adr_env_state_shards():
         step = jax.jit(env.step)
         state, obs, rew, done, ex = step(state, jnp.zeros((32, 16)))
     assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_local_shuffle_sharded_epoch_no_rollout_allgather():
+    """cfg local_shuffle: True -- the shard-local minibatch permutation
+    (SCALING.md follow-up): the sharded epoch runs, learns on finite
+    metrics, and its optimized HLO moves no rollout-sized all-gather
+    (the global shuffle's dominant cross-device payload)."""
+    cfg = {
+        "env": {"numEnvs": 32, "clipActions": 1.0},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    env = task_map["Cartpole"](cfg)
+    tp = {
+        "network": {"mlp": {"units": [32, 32]}},
+        "config": {
+            "horizon_length": 4,
+            "minibatch_size": 64,
+            "mini_epochs": 2,
+            "local_shuffle": True,
+        },
+    }
+    agent = PPO(env, tp, seed=0)
+    mesh = make_mesh(8)
+    agent._shuffle_shards = 8  # what train(mesh=...) sets
+    ts = shard_train_state(agent.init(), mesh)
+    with mesh:
+        ts, metrics = agent._train_epoch(ts)
+    assert np.isfinite(float(metrics["kl"]))
+    assert jax.tree.leaves(ts.params)[0].sharding.is_fully_replicated
+
+    # compare compiled collective traffic vs the global-shuffle epoch:
+    # the local-shuffle program must not all-gather the rollout
+    def allgather_bytes(local):
+        tp2 = {
+            "network": {"mlp": {"units": [32, 32]}},
+            "config": {
+                "horizon_length": 4,
+                "minibatch_size": 64,
+                "mini_epochs": 2,
+                "local_shuffle": local,
+            },
+        }
+        a = PPO(env, tp2, seed=0)
+        a._shuffle_shards = 8 if local else 1
+        t0 = shard_train_state(a.init(), mesh)
+        with mesh:
+            compiled = jax.jit(a.train_epoch).lower(t0).compile()
+        txt = compiled.as_text()
+        import re
+
+        total = 0
+        for m in re.finditer(r"f32\[([\d,]+)\][^\n]*all-gather", txt):
+            dims = [int(d) for d in m.group(1).split(",") if d]
+            n = 4
+            for d in dims:
+                n *= d
+            total += n
+        return total
+
+    local_b = allgather_bytes(True)
+    global_b = allgather_bytes(False)
+    assert local_b < global_b / 4, (
+        f"local shuffle should slash all-gather traffic: "
+        f"{local_b} vs {global_b}"
+    )
