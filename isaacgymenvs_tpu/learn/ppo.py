@@ -705,6 +705,7 @@ class PPO:
         finished, total = 0, 0.0
         stat_sums: Dict[str, float] = {}
         stat_n = 0
+        succ_hist: Dict[int, int] = {}
         while finished < num_episodes:
             a, ts = policy(ts, obs, done)
             env_state, obs, rew, done, extras = step(env_state, a)
@@ -726,10 +727,29 @@ class PPO:
                             va[d].astype(np.float64).sum()
                         )
                 stat_n += int(d.sum())
+                # evalStats-style success accounting (reference
+                # allegro_kuka_base.py:932-969 / shadow_hand printer):
+                # distribution + max of per-episode consecutive successes
+                if "successes" in extras:
+                    sv = np.asarray(extras["successes"])
+                    if sv.ndim == 1 and sv.shape[0] == n:
+                        for s in sv[d]:
+                            succ_hist[int(s)] = succ_hist.get(int(s), 0) + 1
         mean_ret = total / max(finished, 1)
         print(f"played {finished} episodes | mean return {mean_ret:.2f}")
         for k, v in sorted(stat_sums.items()):
             print(f"  {k}: {v / max(stat_n, 1):.3f} (mean at episode end)")
+        if succ_hist:
+            mx = max(succ_hist)
+            tot = sum(succ_hist.values())
+            print(f"  max successes: {mx}")
+            print(
+                "  successes distribution: "
+                + ", ".join(
+                    f"{k}: {100.0 * v / tot:.1f}%"
+                    for k, v in sorted(succ_hist.items())
+                )
+            )
         return mean_ret
 
     # ------------------------------------------------------------------

@@ -464,7 +464,12 @@ class AllegroKukaReorientation(VecTask):
         return jnp.zeros(())
 
     def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
-        return {"true_objective": task["successes"]}
+        # successes feeds the play-loop eval-stats aggregation (the
+        # reference's evalStats printer, allegro_kuka_base.py:932-969)
+        return {
+            "true_objective": task["successes"],
+            "successes": task["successes"],
+        }
 
 
 class AllegroKukaRegrasping(AllegroKukaReorientation):
