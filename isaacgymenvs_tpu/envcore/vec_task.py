@@ -175,8 +175,10 @@ class VecTask:
         raise NotImplementedError
 
     def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
-        """Optional per-env extras (e.g. AMP observations). Receives the
-        task state BEFORE reward_done updates it. Return a dict of arrays."""
+        """Optional per-env extras (e.g. AMP observations, success
+        counters). Receives the task state AFTER reward_done updates it
+        (reference ordering: extras are filled inside compute_reward after
+        the buffer updates). Return a dict of arrays."""
         return None
 
     def adr_objective(self, task):
@@ -618,19 +620,23 @@ class VecTask:
             )
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
 
-        # 4b. optional task extras on the pre-reward task state
-        task_extras = None
-        if type(self).extra_outputs is not VecTask.extra_outputs:
-            task_extras = jax.vmap(self.extra_outputs)(
-                q, qd, kin, sensors, task, actions, progress
-            )
-
         # 5. reward + new done flags
         reward, done, task = jax.vmap(self.reward_done)(
             obs, q, qd, kin, sensors, task, actions, progress
         )
         if self.frames_in_task and isinstance(task, dict):
             task.pop("_frames", None)  # hook-only view, not env state
+
+        # 5a. optional task extras on the POST-reward task state (the
+        # reference fills extras inside compute_reward AFTER updating the
+        # success/episode-sum buffers, e.g. shadow_hand.py:426-435,
+        # anymal_terrain.py:421-425), so success counters and per-term
+        # episode sums include the current step
+        task_extras = None
+        if type(self).extra_outputs is not VecTask.extra_outputs:
+            task_extras = jax.vmap(self.extra_outputs)(
+                q, qd, kin, sensors, task, actions, progress
+            )
 
         # 5b. population-level curricula on the full batch (SBC etc.)
         if type(self).population_update is not VecTask.population_update:

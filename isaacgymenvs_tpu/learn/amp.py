@@ -95,12 +95,17 @@ class AMPAgent(PPO):
 
     # -- discriminator training -------------------------------------------
     def extra_dataset(self, ts, traj, flat) -> tuple:
-        amp_obs = flat(traj.extras["amp_obs"])  # (B, A) raw
+        # (B, A) raw, or (S, B/S, A) under local_shuffle's shard-blocked
+        # layout -- demos are drawn flat and reshaped to match
+        amp_obs = flat(traj.extras["amp_obs"])
         # fresh demo windows sampled INSIDE the jitted epoch (the reference
         # refills its demo buffer each epoch, _fetch_amp_obs_demo :449)
         demo_key = jax.random.fold_in(ts.key, 7)
-        demos = self.env.fetch_amp_obs_demo(demo_key, amp_obs.shape[0])
-        return (amp_obs, demos)
+        n_rows = amp_obs.shape[0] * (
+            amp_obs.shape[1] if amp_obs.ndim == 3 else 1
+        )
+        demos = self.env.fetch_amp_obs_demo(demo_key, n_rows)
+        return (amp_obs, demos.reshape(amp_obs.shape))
 
     def extra_loss(self, params, batch_extra):
         amp_agent, demos = batch_extra

@@ -863,7 +863,10 @@ class PPO:
             # one (q, qd) snapshot per epoch (= one rollout horizon apart),
             # dumped through the task's own downsampling rule every 50
             # epochs and at exit.
-            if main and getattr(self.env, "save_states", False) \
+            # (single-process only: a multi-host global array spans
+            # non-addressable devices and np.asarray would raise)
+            if main and jax.process_count() == 1 \
+                    and getattr(self.env, "save_states", False) \
                     and getattr(self.env, "save_states_file", ""):
                 self.env.accumulate_env_states(ts.env_state)
                 if epoch % 50 == 0:
@@ -897,7 +900,8 @@ class PPO:
                 if main:
                     print(f"score_to_win {cfg.score_to_win} reached at epoch {epoch}")
                 break
-        if main and getattr(self.env, "save_states", False) \
+        if main and jax.process_count() == 1 \
+                and getattr(self.env, "save_states", False) \
                 and getattr(self.env, "save_states_file", ""):
             self.env.dump_env_states()
         if nn_dir is not None:

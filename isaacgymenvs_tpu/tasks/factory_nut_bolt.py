@@ -528,8 +528,11 @@ class FactoryTaskNutBoltPick(NutBoltBase):
 
     # ---- scripted close-and-lift tail ---------------------------------
     def _phase(self, cur):
-        """cur = current progress; returns (in_close, in_lift)."""
-        close_start = self.rl_len - 1
+        """cur = current progress; returns (in_close, in_lift). RL acting
+        steps are cur in [1, rl_len-1] (the same count an rl_len-length
+        episode has under the progress/done convention), then close_steps
+        close and lift_steps lift, done at rl_len+close+lift-1."""
+        close_start = self.rl_len
         lift_start = close_start + self.close_steps
         in_close = (cur >= close_start) & (cur < lift_start)
         in_lift = cur >= lift_start

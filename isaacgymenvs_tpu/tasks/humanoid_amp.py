@@ -153,7 +153,10 @@ class HumanoidAMP(VecTask):
             qd = jnp.where(use_ref, qd, jnp.zeros(m.nv))
 
         amp_frame = self._amp_frame(q, qd, None)
-        task = {"prev_amp": jnp.tile(amp_frame, (self.num_amp_obs_steps - 1, 1))}
+        # full window of num_amp_obs_steps rows; reward_done rolls the
+        # current frame into row 0, so post-update prev_amp IS the
+        # [current, t-1, ..., t-K+1] AMP observation window
+        task = {"prev_amp": jnp.tile(amp_frame, (self.num_amp_obs_steps, 1))}
         return q, qd, task
 
     # ---- control ------------------------------------------------------
@@ -238,10 +241,10 @@ class HumanoidAMP(VecTask):
         return reward, done, {"prev_amp": prev}
 
     def extra_outputs(self, q, qd, kin, sensors, task, actions, progress) -> Dict:
-        """amp_obs = [current frame, previous frames] (210 for 2 steps)."""
-        cur = self._amp_frame(q, qd, kin)
-        hist = task["prev_amp"]  # frames before this step
-        return {"amp_obs": jnp.concatenate([cur[None], hist]).reshape(-1)}
+        """amp_obs = [current frame, previous frames] (210 for 2 steps).
+        extra_outputs runs on the POST-reward task, whose prev_amp window
+        already starts with the current frame (reward_done :236-238)."""
+        return {"amp_obs": task["prev_amp"].reshape(-1)}
 
     # ---- demo sampling for the AMP agent ------------------------------
     def fetch_amp_obs_demo(self, key, num_samples: int):

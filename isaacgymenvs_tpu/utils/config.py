@@ -229,6 +229,24 @@ def load_config(
     pbt_path = os.path.join(cdir, "pbt", f"{pbt_name}.yaml")
     cfg["pbt"] = _load_yaml(pbt_path) if os.path.exists(pbt_path) else {"enabled": False}
 
+    # AllegroKuka-style env subtask group (reference cfg/task/env/*.yaml,
+    # selected by the Hydra defaults list or `task/env=<subtask>`): when a
+    # subtask is requested -- via the task yaml's env.subtask or a
+    # `task.env.subtask=` override -- merge the group file's keys into the
+    # env block so the subtask's reference parameters (episodeLength,
+    # successSteps, forceScale...) override the base yaml. CLI overrides
+    # still win: they are applied after this merge.
+    subtask = pre.get("task.env.subtask") or (
+        (cfg.get("task", {}).get("env") or {}).get("subtask")
+    )
+    if subtask:
+        group_path = os.path.join(cdir, "task", "env", f"{subtask}.yaml")
+        if os.path.exists(group_path):
+            group = _load_yaml(group_path)
+            env_blk = cfg["task"].setdefault("env", {})
+            for k, v in group.items():
+                env_blk[k] = v
+
     overrides = [
         o for o in overrides if o.partition("=")[0] not in ("task", "train", "pbt")
     ]
