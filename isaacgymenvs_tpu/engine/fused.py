@@ -30,9 +30,10 @@ Supported feature set (see `fused_supported`): plane contacts from
 candidate points, point-vs-geom pair contacts (sphere/box), top-K
 active-set selection (max_active_contacts, matching the vmap engine's
 predicted-depth lax.top_k rule), scalar/free/fixed joints, tendons,
-implicit PD drives, external body wrenches, joint limits.  Geom-geom /
-SDF pairs, terrain, bilateral anchors, restitution and per-env model
-leaves (DR) fall back to the vmap engine.
+implicit PD drives, external body wrenches, joint limits, bilateral
+anchors, Newton restitution, per-env model leaves (DR), and heightfield
+terrain via entry-sampled per-point planes (terrain_dyn).  Geom-geom /
+SDF pairs fall back to the vmap engine.
 """
 from __future__ import annotations
 
@@ -45,6 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import maths as _maths
 from ..model.spec import FIXED, FREE, HINGE, SLIDE, Model
 from . import dynamics as _dyn
 from .dynamics import SimParams
@@ -96,8 +98,12 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
     resident_bytes = (
         (rows3 * rows3 + 3 * nv * rows3 + 3 * nv * nv + sel_rows) * TILE * 4
     )
+    # heightfield terrain: supported through per-control-step plane data
+    # (_terr_* dyn inputs sampled at the step's entry positions -- see
+    # the plane-row branch in _substep_fn); needs ground candidates
+    terrain_ok = terrain is None or bool(model.ncp and model.plane_contacts)
     return (
-        terrain is None
+        terrain_ok
         and resident_bytes <= _VMEM_BUDGET_BYTES
         and params.solver == "apgd"
         and not model.pair_geom_a
@@ -777,13 +783,36 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             bX = [_dotc(cp_pick, Xb[k]) for k in range(3)]
             rot = _qrot(bQ, cp_pos)
             xc = [bX[k] + rot[k] for k in range(3)]  # (nc, T)
-            phi_p = jnp.asarray(s.cp_radius[:, None]) - xc[2]
             Pm = _bc3(s.path_mask.T, T)  # (nv, nc, T)
             Jp_w = point_jac_world(xc, Pm)
-            # plane frame = world axes: rotated rows ARE the world comps
-            Jt1_blocks, Jt2_blocks, Jn_blocks = [Jp_w[0]], [Jp_w[1]], [Jp_w[2]]
+            terr = "_terr_h" in dyn
+            if terr:
+                # heightfield ground: per-point plane (height + frame)
+                # sampled OUTSIDE the kernel at the control step's entry
+                # positions (contacts.constraint_data terrain branch:
+                # phi = radius - (x_z - h) * n_z, rows rotated into the
+                # [t1, t2, n] surface frame). Within-step slices reuse the
+                # entry-sampled plane -- the one documented divergence
+                # from the vmap engine, which resamples per slice.
+                th = dyn["_terr_h"]  # (nc, T)
+                tn = [dyn[f"_terr_n{k}"] for k in range(3)]
+                tt1 = [dyn[f"_terr_t1{k}"] for k in range(3)]
+                tt2 = [dyn[f"_terr_t2{k}"] for k in range(3)]
+                phi_p = jnp.asarray(s.cp_radius[:, None]) - (
+                    xc[2] - th
+                ) * tn[2]
+                Jt1_blocks = [sum(tt1[k][None] * Jp_w[k] for k in range(3))]
+                Jt2_blocks = [sum(tt2[k][None] * Jp_w[k] for k in range(3))]
+                Jn_blocks = [sum(tn[k][None] * Jp_w[k] for k in range(3))]
+            else:
+                phi_p = jnp.asarray(s.cp_radius[:, None]) - xc[2]
+                # plane frame = world axes: rotated rows ARE the world comps
+                Jt1_blocks, Jt2_blocks, Jn_blocks = (
+                    [Jp_w[0]], [Jp_w[1]], [Jp_w[2]]
+                )
             phi_blocks = [phi_p]
         else:
+            terr = False
             Jt1_blocks, Jt2_blocks, Jn_blocks, phi_blocks = [], [], [], []
 
         # ---- pair rows: candidate points vs analytic geoms on another
@@ -1347,6 +1376,52 @@ def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
 _CACHE: dict = {}
 
 
+# reserved dyn keys carrying the entry-sampled heightfield plane per
+# candidate point (see terrain_dyn); rows = model.ncp each
+TERRAIN_KEYS = (
+    ("_terr_h",)
+    + tuple(f"_terr_n{k}" for k in range(3))
+    + tuple(f"_terr_t1{k}" for k in range(3))
+    + tuple(f"_terr_t2{k}" for k in range(3))
+)
+
+
+def terrain_dyn(model: Model, terrain, q: jax.Array, qd: jax.Array) -> dict:
+    """Entry-sampled terrain plane data for the fused kernel.
+
+    The heightfield lookup is a lane-varying gather (Terrain.sample's
+    bilinear indexing), which Mosaic cannot express -- so the caller
+    samples height + surface frame at each candidate point's position at
+    the START of the control step and ships them into the kernel as
+    per-env dyn rows.  Within the step's substep slices the plane is held
+    fixed (the vmap engine resamples per slice -- the one documented
+    divergence; with dt ~ 5 ms the xy drift per step is sub-cell).
+
+    q, qd: (N, nq)/(N, nv).  Returns {TERRAIN_KEYS: (N, ncp) float32}.
+    """
+    from .contacts import _tangent_basis
+
+    bodies = np.asarray(model.cpoint_body)
+
+    def one(q1, qd1):
+        kin = _dyn.forward_kinematics(model, q1, qd1)
+        x = kin.x[bodies] + _maths.quat_rotate(
+            kin.quat[bodies], model.cpoint_pos
+        )
+        h = terrain.sample(x[:, :2])
+        n = terrain.normal(x[:, :2])
+        t1, t2 = _tangent_basis(n)
+        return h, n, t1, t2
+
+    h, n, t1, t2 = jax.vmap(one)(q, qd)
+    d = {"_terr_h": h}
+    for k in range(3):
+        d[f"_terr_n{k}"] = n[..., k]
+        d[f"_terr_t1{k}"] = t1[..., k]
+        d[f"_terr_t2{k}"] = t2[..., k]
+    return d
+
+
 # Model leaves the kernel accepts as per-env (N, rows) inputs: the
 # domain-randomization surface (dr/randomize._ACTOR_PARAM_MAP leaves
 # that physics actually consumes). Everything else batched -> vmap.
@@ -1419,6 +1494,7 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas,
         "tendon_stiffness": nt,
         "tendon_damping": nt,
         "gravity": 3,
+        **{k: s.nc for k in TERRAIN_KEYS},
     }
     in_rows = [s.nq, s.nv, s.nv]
     if has_xfrc:

@@ -521,9 +521,20 @@ class VecTask:
         def control_loop(carry, _):
             q, qd = carry
             if fused_on:
+                dyn_step = fused_dyn
+                if self.terrain is not None:
+                    # heightfield lookups gather (Mosaic can't): sample
+                    # each candidate point's ground plane at the control
+                    # step's entry pose and ship it in as dyn rows
+                    dyn_step = {
+                        **fused_dyn,
+                        **_fused.terrain_dyn(
+                            self.model, self.terrain, q, qd
+                        ),
+                    }
                 out = _fused.physics_step_fused(
                     self.model, self.sim_params, q, qd, qfrc,
-                    xfrc=xfrc, q_target=q_target, dyn=fused_dyn,
+                    xfrc=xfrc, q_target=q_target, dyn=dyn_step,
                 )
                 sensors = Sensors(out.body_force, out.body_torque, out.dof_force)
                 return (out.q, out.qd), sensors

@@ -370,3 +370,94 @@ def test_fused_dr_env_dispatch():
         assert bool(jnp.all(d_v == d_f))
     # the fused cache really holds a dyn-leaf entry for this model
     assert any(len(k[5]) >= 7 for k in fused._CACHE if len(k) > 5)
+
+
+# ---------------------------------------------------------------------------
+# heightfield terrain via entry-sampled planes (fused.terrain_dyn)
+# ---------------------------------------------------------------------------
+
+
+def _terrain_compare(terr, steps, q_tol, qd_tol):
+    from isaacgymenvs_tpu.engine.dynamics import Terrain  # noqa: F401
+
+    env = _env("Ant")
+    model, params = env.model, env.sim_params
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    q, qd = state.sim.q, state.sim.qd
+    rng = np.random.RandomState(1)
+    qfrc = jnp.asarray(
+        rng.uniform(-1, 1, (4, model.nv)).astype(np.float32)) * 3.0
+
+    def one(q1, qd1, f1):
+        out = estep.physics_step(
+            model, SimState(q=q1, qd=qd1), f1, params, terrain=terr)
+        return out.state.q, out.state.qd
+
+    vm = jax.jit(jax.vmap(one))
+
+    def fu_fn(q, qd, f):
+        dyn = fused.terrain_dyn(model, terr, q, qd)
+        return fused.physics_step_fused(
+            model, params, q, qd, f, use_pallas=False, dyn=dyn)
+
+    fu = jax.jit(fu_fn)
+    for _ in range(steps):
+        q1, qd1 = vm(q, qd, qfrc)
+        out = fu(q, qd, qfrc)
+        assert float(jnp.max(jnp.abs(q1 - out.q))) < q_tol
+        assert float(jnp.max(jnp.abs(qd1 - out.qd))) < qd_tol
+        q, qd = q1, qd1
+
+
+def test_fused_terrain_flat_matches_vmap():
+    """On a constant-height field the entry-sampled plane EQUALS the
+    vmap engine's per-slice resample, so the fused path must agree to fp
+    tolerance (pins the _terr_* row wiring end to end)."""
+    from isaacgymenvs_tpu.engine.dynamics import Terrain
+
+    H = jnp.full((64, 64), 0.05)
+    terr = Terrain(
+        height=H, horizontal_scale=0.5, origin=jnp.array([-16.0, -16.0]))
+    assert fused.fused_supported(
+        _env("Ant").model, _env("Ant").sim_params, terr)
+    _terrain_compare(terr, steps=3, q_tol=2e-5, qd_tol=2e-4)
+
+
+def test_fused_terrain_slope_close():
+    """Sloped field: within-step xy drift makes the entry-sampled height
+    an approximation (documented divergence in terrain_dyn); the
+    trajectories must stay mm-close over several steps."""
+    from isaacgymenvs_tpu.engine.dynamics import Terrain
+
+    xs = np.arange(64) * 0.5 - 16.0
+    H = jnp.asarray(
+        np.broadcast_to(0.15 * xs[:, None], (64, 64)).astype(np.float32))
+    terr = Terrain(
+        height=H, horizontal_scale=0.5, origin=jnp.array([-16.0, -16.0]))
+    _terrain_compare(terr, steps=5, q_tol=2e-3, qd_tol=2e-1)
+
+
+@pytest.mark.slow
+def test_fused_env_anymal_terrain_dispatch():
+    """AnymalTerrain (curriculum heightfield, top-K cap 20) dispatches to
+    the fused path under sim.use_fused=True and tracks the vmap engine:
+    identical resets, same rewards over the first steps."""
+
+    def mk(use_fused):
+        cfg = {"env": {"numEnvs": 4}, "sim": {"use_fused": use_fused}}
+        return task_map["AnymalTerrain"](cfg)
+
+    e_v, e_f = mk(False), mk(True)
+    assert e_f._fused_capable
+    s_v, o_v = e_v.reset(jax.random.PRNGKey(0))
+    s_f, o_f = e_f.reset(jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(o_v - o_f))) == 0.0
+    act = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (4, e_v.num_acts)).astype(np.float32))
+    step_v, step_f = jax.jit(e_v.step), jax.jit(e_f.step)
+    for _ in range(3):
+        s_v, o_v, r_v, d_v, _ = step_v(s_v, act)
+        s_f, o_f, r_f, d_f, _ = step_f(s_f, act)
+        assert float(jnp.max(jnp.abs(r_v - r_f))) < 1e-3
+        assert float(jnp.max(jnp.abs(o_v - o_f))) < 0.5
+        assert bool(jnp.all(d_v == d_f))
