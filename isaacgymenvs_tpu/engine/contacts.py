@@ -194,8 +194,7 @@ def constraint_data(
             frame = jnp.broadcast_to(jnp.eye(3), (k, 3, 3))
             J = Jp  # frame = world: t1=x, t2=y, n=z
         else:
-            h = terrain.sample(x[:, :2])
-            n = terrain.normal(x[:, :2])
+            h, n = terrain.sample_grad(x[:, :2])
             # distance along the surface normal (slope-corrected)
             phi = model.cpoint_radius - (x[:, 2] - h) * n[:, 2]
             t1, t2 = _tangent_basis(n)

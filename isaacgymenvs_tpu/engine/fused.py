@@ -1408,8 +1408,7 @@ def terrain_dyn(model: Model, terrain, q: jax.Array, qd: jax.Array) -> dict:
         x = kin.x[bodies] + _maths.quat_rotate(
             kin.quat[bodies], model.cpoint_pos
         )
-        h = terrain.sample(x[:, :2])
-        n = terrain.normal(x[:, :2])
+        h, n = terrain.sample_grad(x[:, :2])
         t1, t2 = _tangent_basis(n)
         return h, n, t1, t2
 
