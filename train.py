@@ -38,6 +38,13 @@ def main(argv=None):
 
     multi_proc = dist.maybe_initialize(require=bool(cfg.get("multi_gpu")))
 
+    # NaN-guard mode (SURVEY 5.2 plan; the reference's closest analogue
+    # is torch_deterministic): every jitted call re-checks for NaNs and
+    # raises at the producing primitive. Debug-only -- disables some
+    # fusion, so keep it off for benchmarking.
+    if cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+
     seed = int(cfg.get("seed", 42) or 42)
     if seed == -1:  # seed=-1 -> random seed (reference utils/utils.py:87-95)
         seed = random.randint(0, 2**31 - 1)
@@ -156,6 +163,29 @@ def main(argv=None):
         if logger is not None:
             logger.close()
         return
+    # device-level tracing (SURVEY 5.1 plan: jax.profiler traces; the
+    # reference only has fps counters). profile=<dir> captures the first
+    # profile_epochs training epochs into a TensorBoard-viewable trace.
+    profile_dir = str(cfg.get("profile") or "") or None
+    prof_state = {"on": False, "left": int(cfg.get("profile_epochs", 3))}
+    if profile_dir and dist.is_main_process():
+        jax.profiler.start_trace(profile_dir)
+        prof_state["on"] = True
+        print(f"[profile] tracing first {prof_state['left']} epochs "
+              f"-> {profile_dir}")
+
+    def _wrap_profile(inner):
+        def hook(ts, metrics):
+            if prof_state["on"]:
+                prof_state["left"] -= 1
+                if prof_state["left"] <= 0:
+                    jax.profiler.stop_trace()
+                    prof_state["on"] = False
+                    print(f"[profile] trace written to {profile_dir}")
+            return inner(ts, metrics) if inner else False
+
+        return hook
+
     try:
         if algo == "sac":
             agent.train(
@@ -199,6 +229,8 @@ def main(argv=None):
                     print(f"[video] wrote {vdir}")
                     return False
 
+            if prof_state["on"]:
+                on_epoch = _wrap_profile(on_epoch)
             agent.train(
                 max_epochs=int(max_iters) if max_iters else None,
                 checkpoint=checkpoint,
@@ -210,6 +242,9 @@ def main(argv=None):
                 on_epoch=on_epoch,
             )
     finally:
+        if prof_state["on"]:
+            jax.profiler.stop_trace()
+            prof_state["on"] = False
         if logger is not None:
             logger.close()
 
