@@ -288,6 +288,16 @@ class Trifinger(VecTask):
         return qfrc, jnp.zeros((m.nbody, 6))
 
     # ---- observations ---------------------------------------------------
+    def obs_spec(self):
+        """Named observation slices from OBS_SPEC (the reference's
+        per-component MDP spec, __configure_mdp_spaces :592-660) for the
+        dict-obs API (obs_dict/step_dict/observation_dict_space)."""
+        spec, off = {}, 0
+        for name, n in self.OBS_SPEC.items():
+            spec[name] = (off, n)
+            off += n
+        return spec
+
     def observe(self, q, qd, kin, sensors, task, actions, progress):
         obs = jnp.concatenate(
             [

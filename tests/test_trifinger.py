@@ -94,3 +94,14 @@ def test_safety_damping_slows_joints():
         )
 
     assert peak_speed(True) < peak_speed(False) - 0.2
+
+
+def test_obs_spec_dict_view():
+    """Per-component observation dict (reference __configure_mdp_spaces
+    component names) through the framework dict-obs API."""
+    env = make()
+    assert env.observation_dict_space == dict(env.OBS_SPEC)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    d = env.obs_dict(obs)
+    assert set(d) == set(env.OBS_SPEC)
+    assert all(d[k].shape == (2, n) for k, n in env.OBS_SPEC.items())
