@@ -812,7 +812,6 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                 )
             phi_blocks = [phi_p]
         else:
-            terr = False
             Jt1_blocks, Jt2_blocks, Jn_blocks, phi_blocks = [], [], [], []
 
         # ---- pair rows: candidate points vs analytic geoms on another

@@ -244,14 +244,44 @@ class PPORecurrent(PPO):
 
         num_mb = self.num_seqs // self.seq_minibatch
 
+        # shard-local shuffle (cfg.local_shuffle; same scheme as the
+        # feed-forward epoch): sequence rows are env-major (row = env*S +
+        # chunk), so one mesh env-shard owns a CONTIGUOUS row block --
+        # block the dataset (Sh, rows/Sh, ...) and permute within blocks
+        # with one shared permutation; no row crosses a shard boundary
+        # and the sharded epoch compiles with no rollout all-gather.
+        Sh = self._shuffle_shards if cfg.local_shuffle else 1
+        if Sh > 1:
+            if self.seq_minibatch % Sh or (S * N) % Sh:
+                raise ValueError(
+                    f"local_shuffle needs seq_minibatch "
+                    f"{self.seq_minibatch} and num_seqs {S * N} divisible "
+                    f"by the env-shard count {Sh}"
+                )
+            dataset = jax.tree.map(
+                lambda x: x.reshape((Sh, (S * N) // Sh) + x.shape[1:]),
+                dataset,
+            )
+
         def mini_epoch(carry, _):
             params, opt_state, lr, key = carry
             key, kperm = jax.random.split(key)
-            perm = jax.random.permutation(kperm, S * N)
-            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+            if Sh > 1:
+                perm = jax.random.permutation(kperm, (S * N) // Sh)
+                shuffled = jax.tree.map(lambda x: x[:, perm], dataset)
+            else:
+                perm = jax.random.permutation(kperm, S * N)
+                shuffled = jax.tree.map(lambda x: x[perm], dataset)
 
             def minibatch(carry, mb):
                 params, opt_state, lr = carry
+                if Sh > 1:  # merge (Sh, mb/Sh, ...) -> (mb, ...)
+                    mb = jax.tree.map(
+                        lambda x: x.reshape(
+                            (self.seq_minibatch,) + x.shape[2:]
+                        ),
+                        mb,
+                    )
                 grads, aux = jax.grad(self._seq_loss, has_aux=True)(
                     params, mb
                 )
@@ -261,10 +291,25 @@ class PPORecurrent(PPO):
                 lr = self._update_lr(lr, aux[4])
                 return (params, opt_state, lr), aux
 
-            mbs = jax.tree.map(
-                lambda x: x.reshape((num_mb, self.seq_minibatch) + x.shape[1:]),
-                shuffled,
-            )
+            if Sh > 1:
+                mbs = jax.tree.map(
+                    lambda x: jnp.swapaxes(
+                        x.reshape(
+                            (Sh, num_mb, self.seq_minibatch // Sh)
+                            + x.shape[2:]
+                        ),
+                        0,
+                        1,
+                    ),
+                    shuffled,
+                )
+            else:
+                mbs = jax.tree.map(
+                    lambda x: x.reshape(
+                        (num_mb, self.seq_minibatch) + x.shape[1:]
+                    ),
+                    shuffled,
+                )
             (params, opt_state, lr), auxs = jax.lax.scan(
                 minibatch, (params, opt_state, lr), mbs
             )

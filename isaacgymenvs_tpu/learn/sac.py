@@ -362,6 +362,7 @@ class SAC:
         train_dir: str | None = None,
         name: str = "run",
         checkpoint: str | None = None,
+        on_epoch=None,
     ):
         cfg = self.cfg
         ts = self.init()
@@ -404,6 +405,8 @@ class SAC:
                     f"epoch {epoch:6d} | return {mean_ret:10.2f} | "
                     f"fps {last['fps']:9.0f} | alpha {last['alpha']:.3f}"
                 )
+            if on_epoch is not None and on_epoch(ts, last):
+                break  # PPO-train hook parity: True stops training
             if mean_ret == mean_ret and mean_ret >= cfg.score_to_win:
                 break
         if train_dir is not None:

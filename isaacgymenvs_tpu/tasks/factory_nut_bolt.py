@@ -477,7 +477,15 @@ class FactoryTaskNutBoltPick(NutBoltBase):
         self.close_and_lift = bool(envc.get("close_and_lift", True))
         self.close_steps = int(envc.get("num_gripper_close_sim_steps", 25))
         self.lift_steps = int(envc.get("num_gripper_lift_sim_steps", 25))
-        self.rl_len = int(rl.get("max_episode_length", 100))
+        # RL-phase length: rl.max_episode_length (reference knob), with
+        # an explicit env.episodeLength override winning when provided
+        # (the yaml ships none -- the runtime value below is derived);
+        # the episode always appends the scripted close+lift tail
+        env_len = envc.pop("episodeLength", None)
+        self.rl_len = int(
+            env_len if env_len is not None
+            else rl.get("max_episode_length", 100)
+        )
         scripted = (
             self.close_steps + self.lift_steps if self.close_and_lift else 0
         )

@@ -63,7 +63,12 @@ def _mlp_layers(sd: Dict[str, np.ndarray], prefix: str):
 
 
 def _fill_mlp(tree: Dict[str, Any], layers, where: str):
-    fcs = sorted(k for k in tree if k.startswith("fc"))
+    # numeric sort: lexicographic order breaks at fc10 (fc0, fc1, fc10,
+    # fc2, ...) and would silently scramble uniform-width networks
+    fcs = sorted(
+        (k for k in tree if k.startswith("fc")),
+        key=lambda k: int(k[2:] or 0),
+    )
     if len(fcs) != len(layers):
         raise ValueError(
             f"{where}: checkpoint has {len(layers)} linear layers, the "
@@ -90,6 +95,16 @@ def map_a2c_params(sd: Dict[str, np.ndarray], params: Dict[str, Any]):
         raise NotImplementedError(
             "recurrent rl_games checkpoints are not supported by the "
             "converter (retrain with train=<Task>PPOLSTM here)"
+        )
+    if "central" in params:
+        # asymmetric-critic agents carry a separate central-value net the
+        # rl_games checkpoint stores OUTSIDE a2c_network.* -- converting
+        # only the policy would silently resume with a random critic
+        raise NotImplementedError(
+            "central-value (asymmetric critic) checkpoints are not "
+            "supported by the converter: the agent's central value net "
+            "would be left randomly initialized. Import for test/play "
+            "with a symmetric train config, or retrain here."
         )
     params = copy.deepcopy(
         {"policy": {"params": _to_mutable(params["policy"]["params"])}}

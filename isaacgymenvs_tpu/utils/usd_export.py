@@ -117,6 +117,12 @@ def export_usd(
     """
     xs = np.asarray(frames_x, np.float64)  # (T, nbody, 3)
     qs = np.asarray(frames_quat, np.float64)  # (T, nbody, 4)
+    if xs.ndim != 3 or xs.shape[0] == 0:
+        raise ValueError(
+            "export_usd needs a non-empty trajectory of (nbody, 3) frames "
+            f"(got array of shape {xs.shape}); record frames with "
+            "FrameRecorder.add() before exporting"
+        )
     T, nbody = xs.shape[0], xs.shape[1]
     fps = 1.0 / float(dt)
     lines = [
@@ -193,7 +199,11 @@ def export_replay_usd(npz_path: str, out_path: str, model=None) -> str:
     class _M:  # minimal model view from the npz schema (replay.py save)
         body_names = [str(n) for n in data["body_names"]]
         geom_body = data["geom_body"]
-        geom_size = data["geom_size"]
+        # sphere radius = the geom's largest size component, so thin
+        # boxes/capsules stay visible in the approximation
+        geom_size = np.repeat(
+            np.asarray(data["geom_size"]).max(axis=-1, keepdims=True), 3, -1
+        )
         geom_pos = np.zeros((len(data["geom_body"]), 3))
         geom_quat = np.tile(
             np.array([0.0, 0.0, 0.0, 1.0]), (len(data["geom_body"]), 1)

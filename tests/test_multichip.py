@@ -118,3 +118,58 @@ def test_local_shuffle_sharded_epoch_no_rollout_allgather():
         f"local shuffle should slash all-gather traffic: "
         f"{local_b} vs {global_b}"
     )
+
+
+def test_local_shuffle_recurrent_epoch():
+    """local_shuffle through the RECURRENT epoch (round-4 review fix:
+    the flag was accepted but silently ignored): the shard-blocked
+    permutation path is actually taken (different minibatch order than
+    the global shuffle under the same seed), trains to finite metrics
+    on a sharded mesh, and rejects non-divisible seq_minibatch."""
+    import pytest
+    from isaacgymenvs_tpu.learn import PPORecurrent
+
+    cfg = {
+        "env": {"numEnvs": 32, "clipActions": 1.0, "episodeLength": 50},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    env = task_map["Cartpole"](cfg)
+
+    def mk(local, shards):
+        tp = {
+            "network": {"mlp": {"units": [16]},
+                        "rnn": {"units": 32, "before_mlp": False}},
+            "config": {"horizon_length": 8, "minibatch_size": 64,
+                       "mini_epochs": 2, "seq_length": 4,
+                       "local_shuffle": local},
+        }
+        a = PPORecurrent(env, tp, seed=0)
+        a._shuffle_shards = shards
+        return a
+
+    # sharded run with the blocked permutation: finite metrics
+    mesh = make_mesh(8)
+    agent = mk(True, 8)
+    ts = shard_train_state(agent.init(), mesh)
+    with mesh:
+        ts, metrics = agent._train_epoch(ts)
+    assert np.isfinite(float(jax.device_get(metrics)["kl"]))
+    assert jax.tree.leaves(ts.params)[0].sharding.is_fully_replicated
+
+    # the blocked path really is taken: same seed, different minibatch
+    # order -> different params than the global-shuffle epoch
+    a_loc, a_glob = mk(True, 8), mk(False, 1)
+    t_loc, _ = a_loc._train_epoch(a_loc.init())
+    t_glob, _ = a_glob._train_epoch(a_glob.init())
+    diff = max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(
+            jax.tree.leaves(t_loc.params), jax.tree.leaves(t_glob.params)
+        )
+    )
+    assert diff > 0.0
+
+    # divisibility validation: 8 shards cannot split seq_minibatch
+    bad = mk(True, 5)  # 64/4 = 16 seqs per mb; 16 % 5 != 0
+    with pytest.raises(ValueError, match="local_shuffle"):
+        bad._train_epoch(bad.init())

@@ -194,6 +194,7 @@ def main(argv=None):
                 train_dir="runs",
                 name=run_name,
                 logger=logger,
+                on_epoch=_wrap_profile(None) if prof_state["on"] else None,
             )
         else:
             on_epoch = None
