@@ -1,0 +1,45 @@
+"""train.py CLI surface (L7): end-to-end smoke through main().
+
+Reference train.py:71-219 contract: Hydra-style overrides, config
+snapshot under runs/<name>/, checkpoint under runs/<name>/nn/, test=True
+evaluation from a checkpoint, profile flag."""
+import os
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_train_then_play(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import train as train_mod
+
+    args = [
+        "task=Cartpole",
+        "num_envs=16",
+        "max_iterations=2",
+        "pipeline=cpu",
+        "headless=True",
+        "experiment=CliSmoke",
+        "train.params.config.name=CliSmoke",
+        "train.params.config.minibatch_size=128",
+        "train.params.config.save_frequency=1",
+    ]
+    train_mod.main(args)
+    assert os.path.exists("runs/CliSmoke/config.yaml")
+    ckpts = [
+        f for f in os.listdir("runs/CliSmoke/nn") if f.endswith(".ckpt")
+    ]
+    assert ckpts, "training must save a checkpoint"
+
+    # test=True evaluation from the produced checkpoint (play path)
+    train_mod.main(
+        [
+            "task=Cartpole",
+            "num_envs=16",
+            "pipeline=cpu",
+            "test=True",
+            f"checkpoint=runs/CliSmoke/nn/{ckpts[0]}",
+            "train.params.config.player.games_num=16",
+            "train.params.config.player.max_steps=60",
+        ]
+    )
