@@ -31,9 +31,11 @@ candidate points, point-vs-geom pair contacts (sphere/box), top-K
 active-set selection (max_active_contacts, matching the vmap engine's
 predicted-depth lax.top_k rule), scalar/free/fixed joints, tendons,
 implicit PD drives, external body wrenches, joint limits, bilateral
-anchors, Newton restitution, per-env model leaves (DR), and heightfield
-terrain via entry-sampled per-point planes (terrain_dyn).  Geom-geom /
-SDF pairs fall back to the vmap engine.
+anchors, Newton restitution, per-env model leaves (DR) including the
+actor-scale/inertia geometry leaves (body_ipos, body_inertia,
+cpoint_pos, geom_size), and heightfield terrain via entry-sampled
+per-point planes (terrain_dyn).  Geom-geom / SDF pairs fall back to the
+vmap engine.
 """
 from __future__ import annotations
 
@@ -216,6 +218,7 @@ class _Spec(NamedTuple):
     pp_geom_fric: np.ndarray  # (npp,) geom-side friction (const under DR)
     pp_pick_a: np.ndarray  # (npp, nbody) one-hot point body
     pp_pick_b: np.ndarray  # (npp, nbody) one-hot geom body
+    pp_pick_geom: np.ndarray  # (npp, ngeom) one-hot geom (dyn geom_size)
     pp_path: np.ndarray  # (nv, npp) SIGNED dof path mask (A - B)
     pp_boc_a: np.ndarray  # (nbody, npp) +force accumulation
     pp_boc_b: np.ndarray  # (nbody, npp)
@@ -286,6 +289,8 @@ def _extract(model: Model) -> _Spec:
         pick_b[np.arange(npp), pb] = 1.0
         pick_pt = np.zeros((npp, model.ncp), np.float32)
         pick_pt[np.arange(npp), pts] = 1.0
+        pick_geom = np.zeros((npp, len(model.geom_type)), np.float32)
+        pick_geom[np.arange(npp), geoms] = 1.0
         pp_geom_fric = g(model.geom_friction)[geoms]
         dof_body_arr = np.asarray(model.dof_body)
         pp_path = (
@@ -307,6 +312,7 @@ def _extract(model: Model) -> _Spec:
         pick_a = np.zeros((0, model.nbody), np.float32)
         pick_b = np.zeros((0, model.nbody), np.float32)
         pick_pt = np.zeros((0, model.ncp), np.float32)
+        pick_geom = np.zeros((0, len(model.geom_type)), np.float32)
         pp_geom_fric = np.zeros(0, np.float32)
         pp_path = np.zeros((model.nv, 0), np.float32)
         boc_a = np.zeros((model.nbody, 0), np.float32)
@@ -389,6 +395,7 @@ def _extract(model: Model) -> _Spec:
         pp_gquat=pp_gquat,
         pp_gsize=pp_gsize,
         pp_pick_pt=pick_pt,
+        pp_pick_geom=pick_geom,
         pp_geom_fric=pp_geom_fric,
         pp_pick_a=pick_a,
         pp_pick_b=pick_b,
@@ -515,13 +522,16 @@ def _stackb(lst_of_comp, k):
     return jnp.concatenate([b[k] for b in lst_of_comp], 0)
 
 
-def _spatial_inertia(s: _Spec, Xb, Qb, m_dyn=None):
+def _spatial_inertia(s: _Spec, Xb, Qb, m_dyn=None, ipos_dyn=None,
+                     inertia_dyn=None):
     """World-origin 6x6 spatial inertia entries Io[r][k]: (nbody, T) each.
 
     Mirrors maths.spatial_inertia_at_origin: with c = world CoM,
     Io = [[Iw - m cx cx, m cx], [-m cx, m I]]. `m_dyn` (nbody, T)
-    overrides the static body masses (per-env DR); inertia stays the
-    model leaf, exactly like the vmap path under mass-only DR.
+    overrides the static body masses; `ipos_dyn` (3 comps of (nbody, T))
+    the CoM offsets; `inertia_dyn` (9 comp-major blocks of (nbody, T))
+    the body-frame inertia tensors -- the per-env DR leaves, exactly
+    like the vmap path under batched-Model DR.
     """
     x, y, z, w = (Qb[k] for k in range(4))
     xx, yy, zz = x * x, y * y, z * z
@@ -532,13 +542,18 @@ def _spatial_inertia(s: _Spec, Xb, Qb, m_dyn=None):
         [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
         [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
     ]
-    ipos = [s.body_ipos[:, k:k + 1] for k in range(3)]  # (nbody, 1) consts
-    ipos = [jnp.asarray(c) for c in ipos]
+    if ipos_dyn is not None:
+        ipos = ipos_dyn
+    else:
+        ipos = [jnp.asarray(s.body_ipos[:, k:k + 1]) for k in range(3)]
     com = [
         Xb[k] + sum(R[k][j] * ipos[j] for j in range(3)) for k in range(3)
     ]
-    # Iw = R I R^T (I const per body)
-    Ib = [[jnp.asarray(s.body_inertia[:, a:a + 1, b].copy()) for b in range(3)] for a in range(3)]
+    # Iw = R I R^T (I const per body unless DR-batched)
+    if inertia_dyn is not None:
+        Ib = [[inertia_dyn[a * 3 + b] for b in range(3)] for a in range(3)]
+    else:
+        Ib = [[jnp.asarray(s.body_inertia[:, a:a + 1, b].copy()) for b in range(3)] for a in range(3)]
     RI = [[sum(R[a][c] * Ib[c][b] for c in range(3)) for b in range(3)] for a in range(3)]
     Iw = [[sum(RI[a][c] * R[b][c] for c in range(3)) for b in range(3)] for a in range(3)]
     m = m_dyn if m_dyn is not None else jnp.asarray(s.body_mass[:, None])
@@ -600,6 +615,10 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         a = np.asarray(arr2d, np.float32)
         return jnp.asarray(np.broadcast_to(a[:, :, None], (*a.shape, T)).copy())
 
+    def _blocks(arr, n, k):
+        """Comp-major (k*n, T) dyn rows -> k static slices of (n, T)."""
+        return [arr[i * n:(i + 1) * n] for i in range(k)]
+
     def substep(q, qd, qfrc, xfrc, q_target, warm, dyn=None):
         dyn = dyn or {}
         T = q.shape[-1]
@@ -607,7 +626,21 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         Xb = [_stackb(Xl, k) for k in range(3)]
         Qb = [_stackb(Ql, k) for k in range(4)]
         Vb = [_stackb(Vl, k) for k in range(6)]
-        Io, com = _spatial_inertia(s, Xb, Qb, dyn.get("body_mass"))
+        Io, com = _spatial_inertia(
+            s, Xb, Qb, dyn.get("body_mass"),
+            _blocks(dyn["body_ipos"], s.nbody, 3)
+            if "body_ipos" in dyn else None,
+            _blocks(dyn["body_inertia"], s.nbody, 9)
+            if "body_inertia" in dyn else None,
+        )
+        # per-env contact-point positions (actor-scale DR): comp blocks
+        # over the FULL model cpoint array (plane rows use [0..nc) in
+        # order; pair rows pick with pp_pick_pt)
+        ncp_model = s.pp_pick_pt.shape[1]  # full model cpoint count
+        cpp = (
+            _blocks(dyn["cpoint_pos"], ncp_model, 3)
+            if "cpoint_pos" in dyn else None
+        )
 
         # composite inertia via reverse-topological accumulation:
         # IC[b] = Io[b] + sum_children IC[child]; store per-body slices.
@@ -775,7 +808,11 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
 
         # ---- plane rows: candidate points vs ground (frame = world) ----
         if s.nc:
-            cp_pos = [jnp.asarray(s.cp_pos[:, k:k + 1]) for k in range(3)]
+            cp_pos = (
+                [cpp[k][: s.nc] for k in range(3)]
+                if cpp is not None
+                else [jnp.asarray(s.cp_pos[:, k:k + 1]) for k in range(3)]
+            )
             # body->contact gathers as one-hot matmuls (Mosaic: no gather)
             cp_pick = np.zeros((s.nc, s.nbody), np.float32)
             cp_pick[np.arange(s.nc), s.cp_body] = 1.0
@@ -819,7 +856,11 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         # all in component form; geom types are static per row ----
         if s.pp_nc:
             npp = s.pp_nc
-            ppt = [jnp.asarray(s.pp_pos[:, k:k + 1]) for k in range(3)]
+            ppt = (
+                [_dotc(s.pp_pick_pt, cpp[k]) for k in range(3)]
+                if cpp is not None
+                else [jnp.asarray(s.pp_pos[:, k:k + 1]) for k in range(3)]
+            )
             aQ = [_dotc(s.pp_pick_a, Qb[k]) for k in range(4)]
             aX = [_dotc(s.pp_pick_a, Xb[k]) for k in range(3)]
             rot = _qrot(aQ, ppt)
@@ -834,7 +875,16 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             Qg_c = [-Qg[0], -Qg[1], -Qg[2], Qg[3]]  # conjugate
             dvec = _qrot(Qg_c, [xw[k] - Xg[k] for k in range(3)])
             radius = jnp.asarray(s.pp_radius[:, None])
-            half = [jnp.asarray(s.pp_gsize[:, k:k + 1]) for k in range(3)]
+            half = (
+                [
+                    _dotc(s.pp_pick_geom, g)
+                    for g in _blocks(
+                        dyn["geom_size"], s.pp_pick_geom.shape[1], 3
+                    )
+                ]
+                if "geom_size" in dyn
+                else [jnp.asarray(s.pp_gsize[:, k:k + 1]) for k in range(3)]
+            )
             is_box = jnp.asarray(
                 (s.pp_gtype[:, None] == 2).astype(np.float32)
             )
@@ -1428,7 +1478,13 @@ DYN_LEAVES = (
     "dof_limit_lower", "dof_limit_upper", "body_mass",
     "cpoint_friction", "cpoint_restitution",
     "tendon_stiffness", "tendon_damping",
+    # geometry/inertia leaves (actor-scale + full-inertia DR): shipped
+    # comp-major (component blocks of entities on the rows axis)
+    "body_ipos", "body_inertia", "cpoint_pos", "geom_size",
 )
+# leaves whose model shape carries trailing component axes; call() moves
+# the components in front of the entity axis before the (rows, T) layout
+_DYN_COMP = ("body_ipos", "body_inertia", "cpoint_pos", "geom_size")
 # leaves DR batches that the engine never reads (task-level consumers):
 # safe to ignore on the fused path, matching the vmap engine exactly
 DYN_INERT = ("dof_max_effort",)
@@ -1492,6 +1548,10 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas,
         "tendon_stiffness": nt,
         "tendon_damping": nt,
         "gravity": 3,
+        "body_ipos": 3 * s.nbody,
+        "body_inertia": 9 * s.nbody,
+        "cpoint_pos": 3 * len(model.cpoint_body),
+        "geom_size": 3 * len(model.geom_type),
         **{k: s.nc for k in TERRAIN_KEYS},
     }
     in_rows = [s.nq, s.nv, s.nv]
@@ -1576,7 +1636,16 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas,
         if has_qt:
             ins.append(prep(q_target, s.nq))
         for k in dyn_names:
-            ins.append(prep(dyn[k].astype(jnp.float32), dyn_rows[k]))
+            a = dyn[k].astype(jnp.float32)
+            if k in _DYN_COMP:
+                # (N, n, 3[, 3]) -> comp-major (N, 3[*3]*n): row index =
+                # comp * n + entity, matching the kernel's _blocks slices
+                a = (
+                    jnp.transpose(a, (0, 2, 1))
+                    if a.ndim == 3
+                    else jnp.transpose(a, (0, 2, 3, 1))
+                ).reshape(N, -1)
+            ins.append(prep(a, dyn_rows[k]))
 
         out_rows = [s.nq, s.nv, nb3, nb3, s.nv]
         if use_pallas:

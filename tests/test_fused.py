@@ -461,3 +461,35 @@ def test_fused_env_anymal_terrain_dispatch():
         assert float(jnp.max(jnp.abs(r_v - r_f))) < 1e-3
         assert float(jnp.max(jnp.abs(o_v - o_f))) < 0.5
         assert bool(jnp.all(d_v == d_f))
+
+
+def test_fused_scale_dr_trifinger_dispatch():
+    """Actor-scale + inertia DR leaves (body_ipos/body_inertia/
+    cpoint_pos/geom_size) run through the fused kernel: Trifinger's DR
+    stack batches all four, so it dispatches fused under
+    sim.use_fused=True and matches the vmap engine env-for-env."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    def mk(use_fused):
+        cfg = load_config(["task=Trifinger", "num_envs=4"])["task"]
+        if use_fused:
+            cfg.setdefault("sim", {})["use_fused"] = True
+        return task_map["Trifinger"](cfg)
+
+    env_v, env_f = mk(False), mk(True)
+    assert env_f._fused_capable
+    assert env_f.randomizer is not None
+    batched = env_f.randomizer.batched_leaf_names()
+    assert {"body_ipos", "body_inertia", "cpoint_pos", "geom_size"} <= batched
+    assert batched <= set(fused.DYN_LEAVES) | set(fused.DYN_INERT)
+    s_v, o_v = env_v.reset(jax.random.PRNGKey(0))
+    s_f, o_f = env_f.reset(jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(o_v - o_f))) == 0.0
+    acts = jax.random.uniform(
+        jax.random.PRNGKey(5), (4, env_v.num_acts), minval=-1, maxval=1)
+    step_v, step_f = jax.jit(env_v.step), jax.jit(env_f.step)
+    for _ in range(3):
+        s_v, o_v, r_v, d_v, _ = step_v(s_v, acts)
+        s_f, o_f, r_f, d_f, _ = step_f(s_f, acts)
+        assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-4
+        assert bool(jnp.all(d_v == d_f))
