@@ -79,7 +79,10 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
     n_plane = model.ncp if model.plane_contacts else 0
     natt = len(model.att_body)
     pp_types_ok = all(
-        model.geom_type[g] in (0, 2, 3)  # SPHERE, BOX, CYLINDER
+        # SPHERE, BOX, CYLINDER; MESH rides the same cylinder
+        # fall-through as contacts._sphere_vs_geom's else branch
+        # (bounding half-extents -- FrankaCabinet's drawer handle)
+        model.geom_type[g] in (0, 2, 3, 5)
         for g in model.ppair_geom
     )
     cap = params.max_active_contacts
@@ -279,7 +282,10 @@ def _extract(model: Model) -> _Spec:
         pp_mu = 0.5 * (
             g(model.cpoint_friction)[pts] + g(model.geom_friction)[geoms]
         )
+        # MESH (5) -> CYLINDER (3): the vmap narrowphase's else-branch
+        # fall-through, matched exactly (fused_supported gates types)
         pp_gtype = np.asarray(model.geom_type)[geoms]
+        pp_gtype = np.where(pp_gtype == 5, 3, pp_gtype)
         pp_gpos = g(model.geom_pos)[geoms]
         pp_gquat = g(model.geom_quat)[geoms]
         pp_gsize = g(model.geom_size)[geoms]

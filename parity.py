@@ -107,7 +107,11 @@ def run_task(name: str, max_epochs_cap=None):
     # deterministic eval cadence: 8 checks across the epoch cap, but not
     # before the rolling metric shows life (evals cost one episode)
     eval_every = max(1, max_epochs_cap // 12)
-    eval_steps = min(env.max_episode_length + 1, 1001)
+    # a full episode + 1 so every env finishes at least once: capping
+    # below the episode length silently halves returns on long-episode
+    # tasks (Ingenuity's 2000-step flights scored ~2171 at a 1001-step
+    # cap while actually above the milestone)
+    eval_steps = env.max_episode_length + 1
 
     def on_epoch(ts, metrics):
         curve.append(

@@ -183,9 +183,10 @@ def test_fused_supported_ppair_gating():
     assert not fused.fused_supported(sh.model, sh.sim_params, None)
     capped = sh.sim_params.replace(max_active_contacts=24)
     assert fused.fused_supported(sh.model, capped, None)
-    # mesh-geom pairs (FrankaCabinet) stay on the vmap path
+    # mesh-geom pairs (FrankaCabinet) ride the cylinder fall-through
+    # since round 4 (test_fused_matches_vmap_franka_cabinet_mesh_ppair)
     fc = _env("FrankaCabinet")
-    assert not fused.fused_supported(fc.model, fc.sim_params, None)
+    assert fused.fused_supported(fc.model, fc.sim_params, None)
 
 
 def test_fused_matches_vmap_shadow_hand_capped():
@@ -492,4 +493,30 @@ def test_fused_scale_dr_trifinger_dispatch():
         s_v, o_v, r_v, d_v, _ = step_v(s_v, acts)
         s_f, o_f, r_f, d_f, _ = step_f(s_f, acts)
         assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-4
+        assert bool(jnp.all(d_v == d_f))
+
+
+def test_fused_matches_vmap_franka_cabinet_mesh_ppair():
+    """FrankaCabinet's drawer-handle MESH ppair geom takes the same
+    cylinder fall-through in the fused kernel as the vmap narrowphase's
+    else branch: the task dispatches fused and matches env-for-env."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    def mk(use_fused):
+        cfg = load_config(["task=FrankaCabinet", "num_envs=4"])["task"]
+        if use_fused:
+            cfg.setdefault("sim", {})["use_fused"] = True
+        return task_map["FrankaCabinet"](cfg)
+
+    e_v, e_f = mk(False), mk(True)
+    assert e_f._fused_capable
+    s_v, o_v = e_v.reset(jax.random.PRNGKey(0))
+    s_f, o_f = e_f.reset(jax.random.PRNGKey(0))
+    acts = jax.random.uniform(
+        jax.random.PRNGKey(5), (4, e_v.num_acts), minval=-1, maxval=1)
+    step_v, step_f = jax.jit(e_v.step), jax.jit(e_f.step)
+    for _ in range(3):
+        s_v, o_v, r_v, d_v, _ = step_v(s_v, acts)
+        s_f, o_f, r_f, d_f, _ = step_f(s_f, acts)
+        assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-3
         assert bool(jnp.all(d_v == d_f))
