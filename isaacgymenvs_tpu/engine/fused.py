@@ -56,11 +56,13 @@ from .dynamics import SimParams
 TILE = 128  # envs per kernel instance (lane width; Mosaic lane minimum)
 
 # VMEM budget for the per-tile solver residents (Delassus rows3^2 +
-# contact jacobian 3*nv*rows3 + Minv/M 3*nv^2, f32, 128 lanes). Real VMEM
-# is ~16 MiB/core; leave headroom for FK intermediates + in/out blocks.
-# Humanoid (rows3=105, nv=27) = 10.6 MiB is the largest shipped model on
-# the fused path; ShadowHand-class (~80 contact rows -> 28 MiB) falls back.
-_VMEM_BUDGET_BYTES = 14 * 2**20
+# contact jacobian 3*nv*rows3 + Minv/M 3*nv^2, f32, 128 lanes), a
+# heuristic screen only -- Mosaic itself schedules against the physical
+# core VMEM (vmem_limit below raised to 100M; ShadowHand's top-K chain
+# peaks ~23 MiB and compiles). 20 MiB admits the IndustReal family
+# (152 candidate rows under a cap of 32 -> 17.1 MiB residents) while
+# still rejecting plainly uncompilable uncapped hand-object models.
+_VMEM_BUDGET_BYTES = 20 * 2**20
 
 
 class FusedOut(NamedTuple):
@@ -86,7 +88,8 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
         for g in model.ppair_geom
     )
     cap = params.max_active_contacts
-    nct = n_plane + npp + natt
+    nsp = len(model.spair_point)
+    nct = n_plane + npp + nsp + natt
     nv = model.nv
     if cap and cap < nct:
         # top-K path: the Delassus system shrinks to 3*cap rows; the full
@@ -107,12 +110,12 @@ def fused_supported(model: Model, params: SimParams, terrain) -> bool:
     # (_terr_* dyn inputs sampled at the step's entry positions -- see
     # the plane-row branch in _substep_fn); needs ground candidates
     terrain_ok = terrain is None or bool(model.ncp and model.plane_contacts)
+    # SDF pairs ride entry-sampled world planes (sdf_dyn) like terrain
     return (
         terrain_ok
         and resident_bytes <= _VMEM_BUDGET_BYTES
         and params.solver == "apgd"
         and not model.pair_geom_a
-        and not model.spair_point
         and pp_types_ok
     )
 
@@ -225,7 +228,18 @@ class _Spec(NamedTuple):
     pp_path: np.ndarray  # (nv, npp) SIGNED dof path mask (A - B)
     pp_boc_a: np.ndarray  # (nbody, npp) +force accumulation
     pp_boc_b: np.ndarray  # (nbody, npp)
-    rest: np.ndarray  # (nc + npp,) per-row Newton restitution
+    # candidate-point-vs-SDF pairs (Factory/IndustReal, contacts.py 2c):
+    # the SDF field itself is entry-sampled outside the kernel (sdf_dyn)
+    # into per-row world planes; rows sit between pp and att rows
+    sp_n: int
+    sp_pos: np.ndarray  # (nsp, 3) point in body-A frame
+    sp_mu: np.ndarray  # (nsp,)
+    sp_pick_pt: np.ndarray  # (nsp, ncp_model) one-hot candidate point
+    sp_pick_a: np.ndarray  # (nsp, nbody) one-hot point body
+    sp_path: np.ndarray  # (nv, nsp) SIGNED dof path mask (A - B)
+    sp_boc_a: np.ndarray  # (nbody, nsp) +force accumulation
+    sp_boc_b: np.ndarray  # (nbody, nsp)
+    rest: np.ndarray  # (nc + npp + nsp,) per-row Newton restitution
     # bilateral point anchors (attractors, contacts.py source 3)
     att_n: int
     att_pick: np.ndarray  # (natt, nbody) one-hot anchor body
@@ -323,6 +337,41 @@ def _extract(model: Model) -> _Spec:
         pp_path = np.zeros((model.nv, 0), np.float32)
         boc_a = np.zeros((model.nbody, 0), np.float32)
         boc_b = np.zeros((model.nbody, 0), np.float32)
+    nsp = len(model.spair_point)
+    if nsp:
+        # match contacts.constraint_data source 2c row order exactly:
+        # grouped by unique SDF grid (sorted), stable within a group
+        pts_sp = np.asarray(model.spair_point)
+        order_sp = np.argsort(np.asarray(model.spair_sdf), kind="stable")
+        pts_o = pts_sp[order_sp]
+        sp_a = np.asarray(model.cpoint_body)[pts_o]
+        sp_b = np.asarray(model.sdf_body)[
+            np.asarray(model.spair_sdf)[order_sp]
+        ]
+        sp_pos = g(model.cpoint_pos)[pts_o]
+        sp_mu = g(model.cpoint_friction)[pts_o]
+        sp_pick_pt = np.zeros((nsp, model.ncp), np.float32)
+        sp_pick_pt[np.arange(nsp), pts_o] = 1.0
+        sp_pick_a = np.zeros((nsp, model.nbody), np.float32)
+        sp_pick_a[np.arange(nsp), sp_a] = 1.0
+        dof_body_arr = np.asarray(model.dof_body)
+        sp_path = (
+            anc[sp_a][:, dof_body_arr].astype(np.float32)
+            - anc[sp_b][:, dof_body_arr].astype(np.float32)
+        ).T  # (nv, nsp) signed
+        sp_boc_a = np.zeros((model.nbody, nsp), np.float32)
+        sp_boc_a[sp_a, np.arange(nsp)] = 1.0
+        sp_boc_b = np.zeros((model.nbody, nsp), np.float32)
+        sp_boc_b[sp_b, np.arange(nsp)] = 1.0
+    else:
+        pts_o = np.zeros(0, np.int64)
+        sp_pos = np.zeros((0, 3), np.float32)
+        sp_mu = np.zeros(0, np.float32)
+        sp_pick_pt = np.zeros((0, model.ncp), np.float32)
+        sp_pick_a = np.zeros((0, model.nbody), np.float32)
+        sp_path = np.zeros((model.nv, 0), np.float32)
+        sp_boc_a = np.zeros((model.nbody, 0), np.float32)
+        sp_boc_b = np.zeros((model.nbody, 0), np.float32)
     rst = (
         np.asarray(jax.device_get(model.cpoint_restitution), np.float32)
         if model.cpoint_restitution is not None
@@ -334,6 +383,7 @@ def _extract(model: Model) -> _Spec:
             rst[np.asarray(model.ppair_point)[
                 np.argsort(np.asarray(model.ppair_geom), kind="stable")
             ]] if npp else np.zeros(0, np.float32),
+            rst[pts_o] if nsp else np.zeros(0, np.float32),
         ]
     )
     natt = len(model.att_body)
@@ -402,6 +452,14 @@ def _extract(model: Model) -> _Spec:
         pp_gsize=pp_gsize,
         pp_pick_pt=pick_pt,
         pp_pick_geom=pick_geom,
+        sp_n=nsp,
+        sp_pos=sp_pos,
+        sp_mu=sp_mu,
+        sp_pick_pt=sp_pick_pt,
+        sp_pick_a=sp_pick_a,
+        sp_path=sp_path,
+        sp_boc_a=sp_boc_a,
+        sp_boc_b=sp_boc_b,
         pp_geom_fric=pp_geom_fric,
         pp_pick_a=pick_a,
         pp_pick_b=pick_b,
@@ -601,7 +659,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
     dof_of_body = [
         [d for d in range(s.nv) if s.dof_body[d] == b] for b in range(s.nbody)
     ]
-    n3 = (s.nc + s.pp_nc + s.att_n) * 3
+    n3 = (s.nc + s.pp_nc + s.sp_n + s.att_n) * 3
     erp, erp_att = p.baumgarte_erp, p.baumgarte_erp_attractor
     # q index per dof for scalar gathers (free dofs -> 0, masked)
     sel_q = np.zeros((s.nv, s.nq), np.float32)
@@ -789,7 +847,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         qdd = jnp.sum(Minv * rhs[None, :, :], axis=1)
         qd_free = qd + h * qdd
 
-        nct = s.nc + s.pp_nc + s.att_n
+        nct = s.nc + s.pp_nc + s.sp_n + s.att_n
         if nct == 0:
             qd_new = jnp.clip(qd_free, -p.max_dof_velocity, p.max_dof_velocity)
             q_new = _integrate(s, q, qd_new, h)
@@ -1030,6 +1088,44 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             )
             phi_blocks.append(phi_pp)
 
+        # ---- SDF pair rows (contacts.py source 2c, Factory/IndustReal):
+        # candidate points on body A vs the voxel SDF attached to body B.
+        # The FIELD is entry-sampled OUTSIDE the kernel (sdf_dyn: phi0 +
+        # world plane frame at the control step's entry pose -- Mosaic
+        # has no lane-varying gather for the trilinear grid lookup);
+        # within-step slices move the point against the frozen
+        # first-order field: phi = phi0 - n . (xc - x0).  Same documented
+        # divergence class as heightfield terrain.
+        if s.sp_n:
+            spt = (
+                [_dotc(s.sp_pick_pt, cpp[k]) for k in range(3)]
+                if cpp is not None
+                else [jnp.asarray(s.sp_pos[:, k:k + 1]) for k in range(3)]
+            )
+            sQ = [_dotc(s.sp_pick_a, Qb[k]) for k in range(4)]
+            sX = [_dotc(s.sp_pick_a, Xb[k]) for k in range(3)]
+            rot_s = _qrot(sQ, spt)
+            xs_sp = [sX[k] + rot_s[k] for k in range(3)]  # (nsp, T)
+            sp_n_w = [dyn[f"_sp_n{k}"] for k in range(3)]
+            sp_t1 = [dyn[f"_sp_t1{k}"] for k in range(3)]
+            sp_t2 = [dyn[f"_sp_t2{k}"] for k in range(3)]
+            sp_x0 = [dyn[f"_sp_x0{k}"] for k in range(3)]
+            phi_sp = dyn["_sp_phi0"] - sum(
+                sp_n_w[k] * (xs_sp[k] - sp_x0[k]) for k in range(3)
+            )
+            Pm_sp = _bc3(s.sp_path, T)  # (nv, nsp, T) signed (A - B)
+            Jsp_w = point_jac_world(xs_sp, Pm_sp)
+            Jt1_blocks.append(
+                sum(sp_t1[k][None, :, :] * Jsp_w[k] for k in range(3))
+            )
+            Jt2_blocks.append(
+                sum(sp_t2[k][None, :, :] * Jsp_w[k] for k in range(3))
+            )
+            Jn_blocks.append(
+                sum(sp_n_w[k][None, :, :] * Jsp_w[k] for k in range(3))
+            )
+            phi_blocks.append(phi_sp)
+
         # ---- bilateral point anchors (attractors, contacts.py source 3):
         # 3 world-axis rows per anchor, unprojected, driving the anchor-
         # point error to zero at erp_att/h ----
@@ -1056,7 +1152,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
         bil_full = jnp.asarray(
             np.concatenate(
                 [
-                    np.zeros(s.nc + s.pp_nc, np.float32),
+                    np.zeros(s.nc + s.pp_nc + s.sp_n, np.float32),
                     np.ones(s.att_n, np.float32),
                 ]
             )[:, None]
@@ -1084,13 +1180,16 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                         + jnp.asarray(s.pp_geom_fric[:, None])
                     )
                 )
+            if s.sp_n:
+                # sp rows use the point-side friction (source 2c)
+                mu_parts.append(_dotc(s.sp_pick_pt, cpf))
             if s.att_n:
                 mu_parts.append(jnp.zeros((s.att_n, T)))
             mu_full = jnp.concatenate(mu_parts, 0)
         else:
             mu_full = jnp.asarray(
                 np.concatenate(
-                    [s.cp_mu, s.pp_mu, np.zeros(s.att_n)]
+                    [s.cp_mu, s.pp_mu, s.sp_mu, np.zeros(s.att_n)]
                 ).astype(np.float32)[:, None]
             )
         # full-row velocity-target adjustments, built BEFORE selection so
@@ -1113,6 +1212,8 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                     r_parts.append(cr)
                 if s.pp_nc:
                     r_parts.append(_dotc(s.pp_pick_pt, cr))
+                if s.sp_n:
+                    r_parts.append(_dotc(s.sp_pick_pt, cr))
                 if s.att_n:
                     r_parts.append(jnp.zeros((s.att_n, T)))
                 rest_r = jnp.concatenate(r_parts, 0)
@@ -1137,7 +1238,7 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
             )
         if s.att_n:
             ke_att = erp_att / h
-            nuni = s.nc + s.pp_nc
+            nuni = s.nc + s.pp_nc + s.sp_n
             zu = jnp.zeros((nuni, T))
             adj1 = jnp.concatenate([zu, err_att[0] * ke_att], 0)
             adj2 = jnp.concatenate([zu, err_att[1] * ke_att], 0)
@@ -1372,8 +1473,34 @@ def _substep_fn(s: _Spec, p: SimParams, h: float, gravity: np.ndarray,
                 bt[k] + _dotc(s.pp_boc_a, tq_a[k]) - _dotc(s.pp_boc_b, tq_b[k])
                 for k in range(3)
             ]
+        if s.sp_n:
+            s0 = s.nc + s.pp_nc
+            ls1 = lam_t1[s0:s0 + s.sp_n]
+            ls2 = lam_t2[s0:s0 + s.sp_n]
+            lsn = lam_n[s0:s0 + s.sp_n]
+            Fs = [
+                sp_t1[k] * ls1 + sp_t2[k] * ls2 + sp_n_w[k] * lsn
+                for k in range(3)
+            ]
+            # torque arms about each body's origin (contact point = the
+            # candidate point, matching accumulate_body_wrench)
+            bXs = [_dotc(s.sp_boc_b.T, Xb[k]) for k in range(3)]
+            rel_sa = [xs_sp[k] - sX[k] for k in range(3)]
+            rel_sb = [xs_sp[k] - bXs[k] for k in range(3)]
+            tq_sa = _cross(rel_sa, Fs)
+            tq_sb = _cross(rel_sb, Fs)
+            bf = [
+                bf[k] + _dotc(s.sp_boc_a, Fs[k]) - _dotc(s.sp_boc_b, Fs[k])
+                for k in range(3)
+            ]
+            bt = [
+                bt[k]
+                + _dotc(s.sp_boc_a, tq_sa[k])
+                - _dotc(s.sp_boc_b, tq_sb[k])
+                for k in range(3)
+            ]
         if s.att_n:
-            a0 = s.nc + s.pp_nc
+            a0 = s.nc + s.pp_nc + s.sp_n
             # anchor rows are world-axis frames: force comps ARE the lams
             Fa = [lam_t1[a0:], lam_t2[a0:], lam_n[a0:]]
             rel_at = [xa[k] - aXat[k] for k in range(3)]
@@ -1476,6 +1603,79 @@ def terrain_dyn(model: Model, terrain, q: jax.Array, qd: jax.Array) -> dict:
     return d
 
 
+# reserved dyn keys for entry-sampled SDF contact planes (one plane per
+# spair row, grouped-by-grid row order like contacts.py source 2c)
+SP_KEYS = (
+    ("_sp_phi0",)
+    + tuple(f"_sp_x0{k}" for k in range(3))
+    + tuple(f"_sp_n{k}" for k in range(3))
+    + tuple(f"_sp_t1{k}" for k in range(3))
+    + tuple(f"_sp_t2{k}" for k in range(3))
+)
+
+
+def sdf_dyn(model: Model, q: jax.Array, qd: jax.Array) -> dict:
+    """Entry-sampled SDF contact planes for the fused kernel.
+
+    The trilinear SDF grid lookup is a lane-varying gather Mosaic cannot
+    express, so the caller samples each spair row's signed distance +
+    surface frame at the START of the control step (contacts.py source
+    2c math verbatim) and ships them in as per-env dyn rows; within-step
+    slices move the point against the frozen first-order field
+    (phi = phi0 - n . (x - x0)).  q, qd: (N, nq)/(N, nv); returns
+    {SP_KEYS: (N, nsp) float32} in grouped-by-grid row order.
+    """
+    from ..sdf.builder import SdfGrid, sdf_gradient, sdf_query
+    from .contacts import _tangent_basis
+
+    pts = np.asarray(model.spair_point)
+    grids = np.asarray(model.spair_sdf)
+    order = np.argsort(grids, kind="stable")
+    pts_o, grids_o = pts[order], grids[order]
+
+    def one(q1, qd1):
+        kin = _dyn.forward_kinematics(model, q1, qd1)
+        phis, x0s, ns, t1s, t2s = [], [], [], [], []
+        for gid in np.unique(grids_o):
+            sel = pts_o[grids_o == gid]
+            bodies = np.asarray(model.cpoint_body)[sel]
+            bb = model.sdf_body[int(gid)]
+            grid = SdfGrid(
+                values=model.sdf_values[int(gid)],
+                origin=model.sdf_origin[int(gid)],
+                spacing=model.sdf_spacing[int(gid)],
+            )
+            x = kin.x[bodies] + _maths.quat_rotate(
+                kin.quat[bodies], model.cpoint_pos[sel]
+            )
+            d = _maths.quat_rotate_inverse(kin.quat[bb], x - kin.x[bb])
+            dist = sdf_query(grid, d)
+            grad = sdf_gradient(grid, d)
+            n_l = grad / jnp.maximum(
+                jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9
+            )
+            n = _maths.quat_rotate(
+                jnp.broadcast_to(kin.quat[bb], n_l.shape[:-1] + (4,)), n_l
+            )
+            t1, t2 = _tangent_basis(n)
+            phis.append(model.cpoint_radius[sel] - dist)
+            x0s.append(x)
+            ns.append(n)
+            t1s.append(t1)
+            t2s.append(t2)
+        cat = lambda lst: jnp.concatenate(lst, 0)
+        return cat(phis), cat(x0s), cat(ns), cat(t1s), cat(t2s)
+
+    phi0, x0, n, t1, t2 = jax.vmap(one)(q, qd)
+    d = {"_sp_phi0": phi0}
+    for k in range(3):
+        d[f"_sp_x0{k}"] = x0[..., k]
+        d[f"_sp_n{k}"] = n[..., k]
+        d[f"_sp_t1{k}"] = t1[..., k]
+        d[f"_sp_t2{k}"] = t2[..., k]
+    return d
+
+
 # Model leaves the kernel accepts as per-env (N, rows) inputs: the
 # domain-randomization surface (dr/randomize._ACTOR_PARAM_MAP leaves
 # that physics actually consumes). Everything else batched -> vmap.
@@ -1559,6 +1759,7 @@ def _build_call(model, params, N, has_xfrc, has_qt, use_pallas,
         "cpoint_pos": 3 * len(model.cpoint_body),
         "geom_size": 3 * len(model.geom_type),
         **{k: s.nc for k in TERRAIN_KEYS},
+        **{k: s.sp_n for k in SP_KEYS},
     }
     in_rows = [s.nq, s.nv, s.nv]
     if has_xfrc:

@@ -505,6 +505,13 @@ class VecTask:
         fused_dr_ok = batched_names <= (
             set(_fused.DYN_LEAVES) | set(_fused.DYN_INERT)
         )
+        if "cpoint_pos" in batched_names and (
+            self.terrain is not None or len(self.model.spair_point)
+        ):
+            # the terrain/SDF entry samplers (terrain_dyn / sdf_dyn)
+            # place candidate points from the STATIC model; per-env
+            # cpoint_pos DR would diverge there -- take the vmap engine
+            fused_dr_ok = False
         fused_on = self._fused_capable and fused_dr_ok and (
             self.use_fused is True
             or (self.use_fused == "auto" and jax.default_backend() == "tpu")
@@ -527,10 +534,17 @@ class VecTask:
                     # each candidate point's ground plane at the control
                     # step's entry pose and ship it in as dyn rows
                     dyn_step = {
-                        **fused_dyn,
+                        **dyn_step,
                         **_fused.terrain_dyn(
                             self.model, self.terrain, q, qd
                         ),
+                    }
+                if len(self.model.spair_point):
+                    # SDF grid lookups likewise: entry-sampled contact
+                    # planes per spair row (Factory/IndustReal)
+                    dyn_step = {
+                        **dyn_step,
+                        **_fused.sdf_dyn(self.model, q, qd),
                     }
                 out = _fused.physics_step_fused(
                     self.model, self.sim_params, q, qd, qfrc,

