@@ -59,6 +59,13 @@ MILESTONES = {
     # terrain with a level curriculum; milestone = the linear+angular
     # tracking terms dominating (docs/curves.md discusses the scale)
     "AnymalTerrain": (18.0, 1500 * 24 * 4096, 4500),
+    # HumanoidAMP: style-only reward (task reward = 1 replaced by the
+    # discriminator score); milestone = sustained >= 0.6/step style
+    # reward over near-full 300-step episodes -- the character walks
+    # like the mocap without early termination (reference wall-clock
+    # anchor: "6 minutes on GA100" for AMP training,
+    # docs/rl_examples.md:352; budget = HumanoidAMPPPO.yaml max_epochs)
+    "HumanoidAMP": (180.0, 5000 * 16 * 4096, 5000),
 }
 
 
