@@ -104,7 +104,20 @@ def run_task(name: str, max_epochs_cap=None):
     cfg = load_config([f"task={name}", "headless=True"])
     env = task_map[name](cfg["task"])
     train_params = cfg["train"]["params"]
-    agent = PPO(env, train_params, seed=int(cfg.get("seed", 42)))
+    seed = int(cfg.get("seed", 42))
+    algo = str(train_params.get("algo", {}).get("name", "a2c_continuous"))
+    if algo == "amp_continuous":
+        # AMP's reward IS the discriminator score -- plain PPO on the
+        # env would train on the constant task reward instead
+        from isaacgymenvs_tpu.learn import AMPAgent
+
+        agent = AMPAgent(env, train_params, seed=seed)
+    elif train_params.get("network", {}).get("rnn"):
+        from isaacgymenvs_tpu.learn import PPORecurrent
+
+        agent = PPORecurrent(env, train_params, seed=seed)
+    else:
+        agent = PPO(env, train_params, seed=seed)
     milestone, budget, epoch_cap = MILESTONES[name]
     if max_epochs_cap is None:
         max_epochs_cap = epoch_cap
