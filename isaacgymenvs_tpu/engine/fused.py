@@ -33,9 +33,9 @@ predicted-depth lax.top_k rule), scalar/free/fixed joints, tendons,
 implicit PD drives, external body wrenches, joint limits, bilateral
 anchors, Newton restitution, per-env model leaves (DR) including the
 actor-scale/inertia geometry leaves (body_ipos, body_inertia,
-cpoint_pos, geom_size), and heightfield terrain via entry-sampled
-per-point planes (terrain_dyn).  Geom-geom / SDF pairs fall back to the
-vmap engine.
+cpoint_pos, geom_size), heightfield terrain via entry-sampled per-point
+planes (terrain_dyn), and SDF pair contacts via entry-sampled contact
+planes (sdf_dyn).  Geom-geom pairs fall back to the vmap engine.
 """
 from __future__ import annotations
 
@@ -1716,6 +1716,12 @@ def physics_step_fused(
     """
     N = q.shape[0]
     dyn = dyn or {}
+    if len(model.spair_point) and "_sp_phi0" not in dyn:
+        raise ValueError(
+            "model has SDF pair rows: pass the entry-sampled contact "
+            "planes via dyn (fused.sdf_dyn(model, q, qd)) -- the kernel "
+            "cannot gather the SDF grid itself"
+        )
     dyn_names = tuple(sorted(dyn))
     key = (id(model), id(params), N, xfrc is not None, q_target is not None,
            dyn_names)

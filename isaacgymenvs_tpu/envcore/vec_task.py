@@ -496,8 +496,9 @@ class VecTask:
         )
         # fused whole-step kernel path: the kernel specializes on the
         # static Model, but accepts the DR surface (fused.DYN_LEAVES +
-        # gravity) as per-env kernel inputs; anything else batched (e.g.
-        # actor-scale geometry leaves) falls back to the vmap engine
+        # gravity, incl. the actor-scale geometry leaves) as per-env
+        # kernel inputs; any other batched leaf falls back to the vmap
+        # engine
         batched_names = set()
         if self.randomizer is not None and state.dr is not None:
             batched_names = self.randomizer.batched_leaf_names()

@@ -479,9 +479,11 @@ class FactoryTaskNutBoltPick(NutBoltBase):
         self.lift_steps = int(envc.get("num_gripper_lift_sim_steps", 25))
         # RL-phase length: rl.max_episode_length (reference knob), with
         # an explicit env.episodeLength override winning when provided
-        # (the yaml ships none -- the runtime value below is derived);
-        # the episode always appends the scripted close+lift tail
-        env_len = envc.pop("episodeLength", None)
+        # (the yaml ships none). The runtime episode appends the
+        # scripted close+lift tail; the derived total is NOT written
+        # back into cfg (config snapshots must stay reconstructible),
+        # so max_episode_length is set after super().__init__ instead.
+        env_len = envc.get("episodeLength")
         self.rl_len = int(
             env_len if env_len is not None
             else rl.get("max_episode_length", 100)
@@ -489,10 +491,10 @@ class FactoryTaskNutBoltPick(NutBoltBase):
         scripted = (
             self.close_steps + self.lift_steps if self.close_and_lift else 0
         )
-        envc["episodeLength"] = self.rl_len + scripted
         self.num_obs = 20
         self.num_acts = 12
         super().__init__(cfg)
+        self.max_episode_length = self.rl_len + scripted
         r = self.rand_cfg
         self.arm_init = jnp.asarray(
             r.get(

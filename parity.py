@@ -59,31 +59,37 @@ MILESTONES = {
     # terrain with a level curriculum; milestone = the linear+angular
     # tracking terms dominating (docs/curves.md discusses the scale)
     "AnymalTerrain": (18.0, 1500 * 24 * 4096, 4500),
-    # HumanoidAMP: style-only reward (task reward = 1 replaced by the
-    # discriminator score); milestone = sustained >= 0.6/step style
-    # reward over near-full 300-step episodes -- the character walks
-    # like the mocap without early termination (reference wall-clock
-    # anchor: "6 minutes on GA100" for AMP training,
-    # docs/rl_examples.md:352; budget = HumanoidAMPPPO.yaml max_epochs)
-    "HumanoidAMP": (180.0, 5000 * 16 * 4096, 5000),
+    # HumanoidAMP: the env reward is a constant 1/step (the style
+    # reward is substituted by the agent), so the scalar milestone is
+    # mean episode LENGTH >= 250 of 300 (balance without early
+    # termination), gated ADDITIONALLY on discriminator style reward
+    # >= 0.6/step (see _amp_hit). Reference wall-clock anchor: "6
+    # minutes on GA100" (docs/rl_examples.md:352); budget =
+    # HumanoidAMPPPO.yaml max_epochs.
+    "HumanoidAMP": (250.0, 5000 * 16 * 4096, 5000),
 }
 
 
 def _deterministic_eval(agent, env, ts, max_steps):
     """Mean finished-episode return of the deterministic policy over one
     episode-length rollout of all envs (the reference's test=True
-    evaluation protocol) -- immune to the rolling-metric lag."""
+    evaluation protocol) -- immune to the rolling-metric lag.
+
+    Uses the agent's _play_step so stateful policies (LSTM) thread
+    their carry exactly as in test=True play."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     state, obs = env.reset(jax.random.PRNGKey(12345))
     step = jax.jit(env.step)
-    act = jax.jit(agent.act)
+    policy = jax.jit(agent._play_step)
     ret = np.zeros(env.num_envs)
+    done = jnp.zeros(env.num_envs, bool)
     done_rets = []
     for _ in range(max_steps):
-        state, obs, rew, done, ex = step(state, act(ts, obs))
+        a, ts = policy(ts, obs, done)
+        state, obs, rew, done, ex = step(state, a)
         ret += np.asarray(rew)
         d = np.asarray(done)
         if d.any():
@@ -133,12 +139,36 @@ def run_task(name: str, max_epochs_cap=None):
     # cap while actually above the milestone)
     eval_steps = env.max_episode_length + 1
 
+    is_amp = algo == "amp_continuous"
+
+    def _amp_hit(metrics):
+        # AMP's ENV reward is a constant 1/step (the style reward is
+        # substituted inside the agent), so mean_episode_return is the
+        # mean episode LENGTH. The honest gate is therefore twofold:
+        # near-full episodes (balance without early termination) AND a
+        # discriminator style reward >= 0.6/step on policy samples
+        # (the character moves like the mocap, not just stands).
+        return (
+            metrics["mean_episode_return"] >= milestone
+            and float(metrics.get("disc_reward_mean", 0.0)) >= 0.6
+        )
+
     def on_epoch(ts, metrics):
         curve.append(
             [int(metrics["frames"]), float(metrics["mean_episode_return"])]
+            + ([float(metrics.get("disc_reward_mean", 0.0))] if is_amp
+               else [])
         )
         ret = metrics["mean_episode_return"]
         epoch = int(metrics["epoch"])
+        if is_amp:
+            # raw-reward deterministic eval is meaningless for AMP
+            # (constant task reward); gate on the training metrics
+            if hit["frames"] is None and _amp_hit(metrics):
+                hit["frames"] = int(metrics["frames"])
+                hit["epoch"] = epoch
+                return True
+            return False
         near = ret == ret and ret >= 0.5 * milestone
         if hit["frames"] is None and near and epoch % eval_every == 0:
             ev = _deterministic_eval(agent, env, ts, eval_steps)
@@ -155,12 +185,15 @@ def run_task(name: str, max_epochs_cap=None):
         max_epochs=max_epochs_cap, on_epoch=on_epoch, log_every=25
     )
     wall = time.time() - t0
-    if hit["frames"] is None:  # final deterministic check
+    if hit["frames"] is None and not is_amp:  # final deterministic check
         ev = _deterministic_eval(agent, env, ts, eval_steps)
         evals.append([int(last.get("frames", 0)), ev])
         if ev == ev and ev >= milestone:
             hit["frames"] = int(last.get("frames", 0))
             hit["epoch"] = int(last.get("epoch", 0))
+    elif hit["frames"] is None and is_amp and _amp_hit(last):
+        hit["frames"] = int(last.get("frames", 0))
+        hit["epoch"] = int(last.get("epoch", 0))
     return {
         "milestone": milestone,
         "reference_budget_env_steps": budget,
