@@ -43,3 +43,28 @@ def test_cli_train_then_play(tmp_path, monkeypatch):
             "train.params.config.player.max_steps=60",
         ]
     )
+
+
+@pytest.mark.slow
+def test_cli_profile_flag(tmp_path, monkeypatch):
+    """profile=<dir> captures a jax.profiler trace of the first
+    profile_epochs epochs (SURVEY 5.1)."""
+    monkeypatch.chdir(tmp_path)
+    import train as train_mod
+
+    train_mod.main(
+        [
+            "task=Cartpole",
+            "num_envs=16",
+            "max_iterations=3",
+            "pipeline=cpu",
+            "headless=True",
+            "experiment=ProfSmoke",
+            "train.params.config.name=ProfSmoke",
+            "train.params.config.minibatch_size=128",
+            f"profile={tmp_path}/trace",
+            "profile_epochs=1",
+        ]
+    )
+    prof = os.path.join(tmp_path, "trace", "plugins", "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)
