@@ -173,3 +173,26 @@ def test_local_shuffle_recurrent_epoch():
     bad = mk(True, 5)  # 64/4 = 16 seqs per mb; 16 % 5 != 0
     with pytest.raises(ValueError, match="local_shuffle"):
         bad._train_epoch(bad.init())
+
+
+def test_sharded_step_terrain_and_sdf_samplers():
+    """Entry-sampled dyn paths under an env-sharded mesh: the
+    heightfield (AnymalTerrain) and SDF (NutBoltPick) samplers run
+    inside the sharded jitted step -- replicated grids, sharded query
+    points -- and produce finite sharded outputs."""
+    from isaacgymenvs_tpu.parallel.sharding import env_state_sharding
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    mesh = make_mesh(8)
+    for task, n in (("AnymalTerrain", 32), ("FactoryTaskNutBoltPick", 32)):
+        cfg = load_config([f"task={task}", f"num_envs={n}"])["task"]
+        cfg.setdefault("sim", {})["use_fused"] = True  # force fused math
+        env = task_map[task](cfg)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        state = jax.device_put(state, env_state_sharding(state, mesh))
+        with mesh:
+            step = jax.jit(env.step)
+            state, obs, rew, done, ex = step(
+                state, jnp.zeros((n, env.num_acts)))
+        assert np.isfinite(np.asarray(rew)).all()
+        assert len(state.sim.q.sharding.device_set) == 8
