@@ -211,6 +211,218 @@ def run_task(name: str, max_epochs_cap=None):
     }
 
 
+# ---------------------------------------------------------------------------
+# Round-5 success-keyed parity specs (VERDICT r4 items 1, 4, 7): the
+# reference's own acceptance criterion for the contact-rich / dexterous
+# tasks is a SUCCESS RATE (docs/rl_examples.md:403 "high success rate",
+# :164-175 consecutive successes; docs/factory.md), not a return
+# milestone, so these rows key on a deterministic-policy success eval.
+#
+# eval_mode:
+#   end_rate -- fraction of episodes whose `successes` extra is >0.5 at
+#               the episode's final step (Factory pick/place/screw,
+#               Trifinger pose-goal hold; matches the reference's
+#               end-of-episode success checks, e.g.
+#               factory_task_nut_bolt_pick.py _check_lift_success /
+#               trifinger.py _check_termination).
+#   end_mean -- mean of the `successes` extra at episode end = mean
+#               consecutive successes per episode (ShadowHand-family
+#               printer, shadow_hand.py:426-435).
+#   return   -- deterministic-eval mean episode return (SAC recipe rows).
+#
+# budget = the reference cfg's max_epochs x horizon_length x numEnvs.
+SUCCESS_SPECS = {
+    "FactoryTaskNutBoltPick": dict(
+        overrides=["task=FactoryTaskNutBoltPick"],
+        eval_mode="end_rate",
+        milestone=0.80,  # "high success rate" docs/rl_examples.md:403
+        budget=1024 * 120 * 128,
+        epoch_cap=3072,
+    ),
+    "FactoryTaskNutBoltPlace": dict(
+        overrides=["task=FactoryTaskNutBoltPlace"],
+        eval_mode="end_rate",
+        milestone=0.80,
+        budget=1024 * 120 * 128,
+        epoch_cap=3072,
+    ),
+    # Screw trains "almost immediately" (docs/rl_examples.md:403) but its
+    # success condition (nut fully screwed to the bolt base within the
+    # episode) is far stricter than pick/place; the reference publishes
+    # no screw success rate. Milestone: half the envs fully screwed.
+    "FactoryTaskNutBoltScrew": dict(
+        overrides=["task=FactoryTaskNutBoltScrew"],
+        eval_mode="end_rate",
+        milestone=0.50,
+        budget=1024 * 128 * 128,
+        epoch_cap=3072,
+    ),
+    # AllegroHandPPO.yaml: 5000 epochs x 8 x 16384 = 655M. Milestone =
+    # mean consecutive in-hand reorientation successes per episode >= 5
+    # (the same "manipulation clearly works" bar the ShadowHand row uses,
+    # now keyed in the reference's own success units).
+    "AllegroHand": dict(
+        overrides=["task=AllegroHand"],
+        eval_mode="end_mean",
+        milestone=5.0,
+        budget=5000 * 8 * 16384,
+        epoch_cap=15000,
+    ),
+    # TrifingerPPO.yaml: 20000 epochs x 8 x 16384 = 2.62B frames at
+    # difficulty 4 (full-pose goal). Milestone = >=50% of episodes end
+    # inside the position+orientation tolerance.
+    "Trifinger": dict(
+        overrides=["task=Trifinger"],
+        eval_mode="end_rate",
+        milestone=0.50,
+        budget=20000 * 8 * 16384,
+        epoch_cap=60000,
+    ),
+    # SAC recipe evidence (AntSAC.yaml: 20000 epochs x 8 x 4096).
+    # Milestone: deterministic-eval return >= 3000 (the policy clearly
+    # runs; PPO reaches ~5000, SAC is slower per the rl_games curves).
+    "AntSAC": dict(
+        overrides=["task=Ant", "train=AntSAC"],
+        eval_mode="return",
+        milestone=3000.0,
+        budget=20000 * 8 * 4096,
+        epoch_cap=20000,
+    ),
+    # Recurrent + asymmetric-critic recipe evidence
+    # (ShadowHandPPOAsymmLSTM.yaml: 10000 epochs x 16 x 16384 = 2.62B).
+    # Milestone in consecutive successes, matching the AllegroHand row.
+    "ShadowHandLSTM": dict(
+        overrides=["task=ShadowHand", "train=ShadowHandPPOAsymmLSTM"],
+        eval_mode="end_mean",
+        milestone=5.0,
+        budget=10000 * 16 * 16384,
+        epoch_cap=30000,
+    ),
+}
+
+
+def _eval_success(agent, env, ts, mode: str, max_steps: int):
+    """Deterministic-policy success eval: one episode-length rollout of
+    all envs; per-episode success read from extras['successes'] at each
+    env's done step (the reference's test=True success printers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    state, obs = env.reset(jax.random.PRNGKey(12345))
+    step = jax.jit(env.step)
+    if hasattr(agent, "_play_step"):
+        policy = jax.jit(agent._play_step)
+    else:  # SAC: stateless deterministic act()
+        act = jax.jit(agent.act)
+        policy = lambda ts, obs, done: (act(ts, obs), ts)
+    n = env.num_envs
+    done = jnp.zeros(n, bool)
+    end_vals = []
+    ret = np.zeros(n)
+    done_rets = []
+    for _ in range(max_steps):
+        a, ts = policy(ts, obs, done)
+        state, obs, rew, done, extras = step(state, a)
+        ret += np.asarray(rew)
+        d = np.asarray(done)
+        if d.any():
+            done_rets += ret[d].tolist()
+            ret[d] = 0.0
+            if "successes" in extras:
+                sv = np.asarray(extras["successes"])
+                if sv.ndim == 1 and sv.shape[0] == n:
+                    end_vals += sv[d].tolist()
+    if mode == "return":
+        return float(np.mean(done_rets)) if done_rets else float("nan")
+    if not end_vals:
+        return float("nan")
+    if mode == "end_mean":
+        return float(np.mean(end_vals))
+    return float(np.mean([v > 0.5 for v in end_vals]))  # end_rate
+
+
+def run_success_task(key: str, max_epochs_cap=None):
+    import jax
+
+    from isaacgymenvs_tpu.learn import PPO
+    from isaacgymenvs_tpu.tasks import task_map
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    spec = SUCCESS_SPECS[key]
+    cfg = load_config(list(spec["overrides"]) + ["headless=True"])
+    env = task_map[cfg["task_name"]](cfg["task"])
+    train_params = cfg["train"]["params"]
+    seed = int(os.environ.get("PARITY_SEED", cfg.get("seed", 42)))
+    algo = str(train_params.get("algo", {}).get("name", "a2c_continuous"))
+    if algo == "sac":
+        from isaacgymenvs_tpu.learn import SAC
+
+        agent = SAC(env, train_params, seed=seed)
+    elif train_params.get("network", {}).get("rnn"):
+        from isaacgymenvs_tpu.learn import PPORecurrent
+
+        agent = PPORecurrent(env, train_params, seed=seed)
+    else:
+        agent = PPO(env, train_params, seed=seed)
+    milestone = spec["milestone"]
+    mode = spec["eval_mode"]
+    cap = max_epochs_cap or spec["epoch_cap"]
+    eval_every = max(1, cap // 16)
+    eval_steps = env.max_episode_length + 1
+    curve, evals = [], []
+    hit = {"frames": None, "epoch": None}
+
+    def on_epoch(ts, metrics):
+        row = [int(metrics["frames"]), float(metrics["mean_episode_return"])]
+        sk = next(
+            (k for k in ("env/successes", "env/consecutive_successes")
+             if k in metrics),
+            None,
+        )
+        if sk is not None:
+            row.append(float(metrics[sk]))
+        curve.append(row)
+        epoch = int(metrics["epoch"])
+        if epoch % eval_every == 0:
+            ev = _eval_success(agent, env, ts, mode, eval_steps)
+            evals.append([int(metrics["frames"]), ev])
+            print(f"  success-eval @ epoch {epoch}: {ev:.3f}", flush=True)
+            if ev == ev and ev >= milestone:
+                hit["frames"] = int(metrics["frames"])
+                hit["epoch"] = epoch
+                return True
+        return False
+
+    t0 = time.time()
+    ts, last = agent.train(max_epochs=cap, on_epoch=on_epoch, log_every=25)
+    wall = time.time() - t0
+    if hit["frames"] is None:
+        ev = _eval_success(agent, env, ts, mode, eval_steps)
+        evals.append([int(last.get("frames", 0)), ev])
+        print(f"  success-eval final: {ev:.3f}", flush=True)
+        if ev == ev and ev >= milestone:
+            hit["frames"] = int(last.get("frames", 0))
+            hit["epoch"] = int(last.get("epoch", 0))
+    return {
+        "metric": mode,
+        "milestone": milestone,
+        "reference_budget_env_steps": spec["budget"],
+        "frames_to_milestone": hit["frames"],
+        "epochs_to_milestone": hit["epoch"],
+        "within_reference_budget": (
+            hit["frames"] is not None and hit["frames"] <= spec["budget"]
+        ),
+        "success_evals": evals,
+        "final_mean_return": float(last.get("mean_episode_return", 0.0)),
+        "final_success_eval": evals[-1][1] if evals else None,
+        "final_frames": int(last.get("frames", 0)),
+        "wall_clock_s": round(wall, 1),
+        "fps": round(float(last.get("fps", 0.0))),
+        "curve": curve[:: max(1, len(curve) // 200)],
+    }
+
+
 def main():
     if os.environ.get("PARITY_FORCE_CPU"):
         # the axon sitecustomize registers the TPU platform at interpreter
@@ -225,15 +437,20 @@ def main():
     path = "PARITY.json"
     if os.path.exists(path):
         results = json.load(open(path))
+    seed_env = os.environ.get("PARITY_SEED")
     for name in sel.split(","):
         name = name.strip()
         if not name:
             continue
-        print(f"=== parity: {name} ===", flush=True)
+        key = f"{name}_s{seed_env}" if seed_env else name
+        print(f"=== parity: {key} ===", flush=True)
         try:
-            results[name] = run_task(name, cap)
+            if name in SUCCESS_SPECS:
+                results[key] = run_success_task(name, cap)
+            else:
+                results[key] = run_task(name, cap)
         except Exception as e:
-            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            results[key] = {"error": f"{type(e).__name__}: {e}"}
         json.dump(results, open(path, "w"), indent=1)
 
     # regenerate the human-readable table
@@ -245,17 +462,25 @@ def main():
         "no more env steps than the reference's max_epochs x horizon x",
         "numEnvs budget for the same task.",
         "",
-        "| task | milestone | frames to milestone | reference budget | within budget | final return | fps |",
-        "|---|---|---|---|---|---|---|",
+        "Success-keyed rows (`metric` end_rate / end_mean) follow the",
+        "reference's own acceptance criterion — end-of-episode success",
+        "rate / mean consecutive successes under a deterministic-policy",
+        "eval — instead of a return milestone (see SUCCESS_SPECS).",
+        "",
+        "| task | metric | milestone | frames to milestone | reference budget | within budget | final return | final success | fps |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         if "error" in r:
-            lines.append(f"| {name} | — | error: {r['error']} | | | | |")
+            lines.append(f"| {name} | — | — | error: {r['error']} | | | | | |")
             continue
+        fs = r.get("final_success_eval")
         lines.append(
-            f"| {name} | {r['milestone']} | {r['frames_to_milestone']} | "
+            f"| {name} | {r.get('metric', 'return')} | {r['milestone']} | "
+            f"{r['frames_to_milestone']} | "
             f"{r['reference_budget_env_steps']} | {r['within_reference_budget']} | "
-            f"{r['final_mean_return']:.1f} | {r['fps']} |"
+            f"{r['final_mean_return']:.1f} | "
+            f"{'' if fs is None else f'{fs:.3f}'} | {r['fps']} |"
         )
     open("PARITY.md", "w").write("\n".join(lines) + "\n")
     print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "curve"}
