@@ -194,7 +194,12 @@ def constraint_data(
             frame = jnp.broadcast_to(jnp.eye(3), (k, 3, 3))
             J = Jp  # frame = world: t1=x, t2=y, n=z
         else:
-            h, n = terrain.sample_grad(x[:, :2])
+            # contact points cluster around the robot: one (32, 32)
+            # patch slice + dense tent-weight contraction replaces 4
+            # pointwise grid gathers per point (see Terrain.sample_patch)
+            h, n = terrain.sample_grad_patch(
+                jnp.mean(x[:, :2], axis=0), x[:, :2], P=32
+            )
             # distance along the surface normal (slope-corrected)
             phi = model.cpoint_radius - (x[:, 2] - h) * n[:, 2]
             t1, t2 = _tangent_basis(n)

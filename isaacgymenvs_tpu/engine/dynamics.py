@@ -135,6 +135,75 @@ class Terrain:
         """Surface normal of the interpolated (bilinear) surface."""
         return self.sample_grad(xy)[1]
 
+    # ---- patch sampling: gathers -> dense matmuls ---------------------
+    #
+    # The per-env query points (height-scan grid, foot contact points)
+    # cluster within ~1 m of the robot base, so instead of N pointwise
+    # gathers into the full grid (scalar-unit bound on TPU: the 188-pt
+    # AnymalTerrain scan cost 24 ms/step at 4096 envs), slice ONE (P, P)
+    # patch around the base per env (`dynamic_slice` = contiguous DMA)
+    # and evaluate every point against the patch with separable tent
+    # weights:  h(p) = wx(p) @ patch @ wy(p),  where wx[i] =
+    # max(0, 1 - |gx - i|) is exactly the bilinear hat function. That
+    # turns the lookup into two small dense einsums the MXU/VPU eats
+    # (~0.2 GFLOP at 4096 envs x 188 pts x P=32) with zero gathers.
+
+    def _patch(self, center_xy, P: int):
+        rows, cols = self.height.shape
+        g = (center_xy - self.origin) / self.horizontal_scale
+        sx = jnp.clip(jnp.round(g[0]).astype(jnp.int32) - P // 2, 0,
+                      max(rows - P, 0))
+        sy = jnp.clip(jnp.round(g[1]).astype(jnp.int32) - P // 2, 0,
+                      max(cols - P, 0))
+        patch = jax.lax.dynamic_slice(self.height, (sx, sy), (P, P))
+        return patch, sx, sy
+
+    def _patch_weights(self, pts_xy, sx, sy, P: int):
+        rows, cols = self.height.shape
+        g = (pts_xy - self.origin) / self.horizontal_scale
+        gx = jnp.clip(g[..., 0], 0.0, rows - 1.001) - sx
+        gy = jnp.clip(g[..., 1], 0.0, cols - 1.001) - sy
+        # points outside the patch degrade to its edge value (same
+        # clamp-to-border rule as the full-grid path at the grid edge)
+        gx = jnp.clip(gx, 0.0, P - 1.001)
+        gy = jnp.clip(gy, 0.0, P - 1.001)
+        ii = jnp.arange(P, dtype=jnp.float32)
+        dx = gx[..., None] - ii
+        dy = gy[..., None] - ii
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))  # (N, P) 2 nonzeros/row
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+        # gradient weights via the same floor-cell forward difference as
+        # sample_grad (h[x0+1] - h[x0]), exact also at integer coords
+        x0 = jnp.floor(gx)[..., None]
+        y0 = jnp.floor(gy)[..., None]
+        dwx = (ii == x0 + 1).astype(jnp.float32) - (ii == x0).astype(
+            jnp.float32
+        )
+        dwy = (ii == y0 + 1).astype(jnp.float32) - (ii == y0).astype(
+            jnp.float32
+        )
+        return wx, wy, dwx, dwy
+
+    def sample_patch(self, center_xy, pts_xy, P: int = 32):
+        """Bilinear heights of (N, 2) world points near center_xy, via
+        one (P, P) patch slice + dense tent-weight contraction."""
+        patch, sx, sy = self._patch(center_xy, P)
+        wx, wy, _, _ = self._patch_weights(pts_xy, sx, sy, P)
+        return jnp.einsum("ni,ij,nj->n", wx, patch, wy)
+
+    def sample_grad_patch(self, center_xy, pts_xy, P: int = 32):
+        """Heights AND surface normals (patch variant of sample_grad)."""
+        patch, sx, sy = self._patch(center_xy, P)
+        wx, wy, dwx, dwy = self._patch_weights(pts_xy, sx, sy, P)
+        rowx = wx @ patch  # (N, P)
+        h = jnp.einsum("nj,nj->n", rowx, wy)
+        inv = 1.0 / self.horizontal_scale
+        dhdx = jnp.einsum("nj,nj->n", dwx @ patch, wy) * inv
+        dhdy = jnp.einsum("nj,nj->n", rowx, dwy) * inv
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n
+
 
 @struct.dataclass
 class SimState:

@@ -1590,7 +1590,10 @@ def terrain_dyn(model: Model, terrain, q: jax.Array, qd: jax.Array) -> dict:
         x = kin.x[bodies] + _maths.quat_rotate(
             kin.quat[bodies], model.cpoint_pos
         )
-        h, n = terrain.sample_grad(x[:, :2])
+        # contact points cluster around the robot: patch-sliced dense
+        # lookup (Terrain.sample_grad_patch) instead of 4 gathers/point
+        center = jnp.mean(x[:, :2], axis=0)
+        h, n = terrain.sample_grad_patch(center, x[:, :2], P=32)
         t1, t2 = _tangent_basis(n)
         return h, n, t1, t2
 

@@ -187,6 +187,16 @@ class VecTask:
         ADR-enabled tasks; receives a SINGLE env's task pytree."""
         return jnp.zeros(())
 
+    def set_train_info(self, env_frames, *args, **kwargs):
+        """Algo -> env training-progress report (reference
+        vec_task.py:187-194 / rlgames_utils.py:274-281): the trainer
+        calls this every epoch with its global env-frame counter so
+        env-side curricula can key off optimization progress. The jitted
+        step threads the equivalent counter through EnvState.frames (DR
+        schedules consume that); this hook records the trainer's value
+        for host-side consumers and keeps the reference API."""
+        self.total_train_env_frames = int(env_frames)
+
     # ---- dict observations (EnvDextreme / ComplexObsRLGPUEnv parity) ---
     # The reference's DeXtreme/AllegroKuka runtime exposes observations
     # as a dict of named tensors (adr_vec_task.py:173-220 per-key

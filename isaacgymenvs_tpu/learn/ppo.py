@@ -126,6 +126,10 @@ class PPOTrainState:
     ep_len: jax.Array  # (N,)
     states: Any = None  # (N, num_states) privileged state (asym critic)
     state_rms: Any = None
+    # per-env running sums of extras['episode_cumulative'] terms (the
+    # reference observer's per-episode deque stats, rlgames_utils.py
+    # :157-172) -- None when the env emits no such extras
+    ep_cum: Any = None
 
 
 class Transition(NamedTuple):
@@ -230,6 +234,25 @@ class PPO:
             states = self.env.states_of(env_state)
             params["central"] = self.central_net.init(kcv, states[:1])
             state_rms = RunningMeanStd.create((self.env.num_states,))
+        # probe the env's extras structure (trace only) for per-step
+        # episode_cumulative terms (reference producer contract:
+        # allegro_kuka_base.py:923-928 / allegro_hand_dextreme.py:456+)
+        try:
+            _, _, _, _, ex_shapes = jax.eval_shape(
+                self.env.step,
+                env_state,
+                jnp.zeros((n, self.env.num_acts)),
+            )
+            self._ep_cum_keys = tuple(
+                sorted(ex_shapes.get("episode_cumulative", {}))
+            )
+        except Exception:
+            self._ep_cum_keys = ()
+        ep_cum = (
+            {k: jnp.zeros(n) for k in self._ep_cum_keys}
+            if self._ep_cum_keys
+            else None
+        )
         return PPOTrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -243,6 +266,7 @@ class PPO:
             ep_len=jnp.zeros(n, jnp.int32),
             states=states,
             state_rms=state_rms,
+            ep_cum=ep_cum,
         )
 
     # ------------------------------------------------------------------
@@ -272,7 +296,8 @@ class PPO:
         cfg = self.cfg
 
         def step_fn(carry, _):
-            env_state, obs, states, obs_rms, state_rms, ep_ret, ep_len, key = carry
+            (env_state, obs, states, obs_rms, state_rms, ep_ret, ep_len,
+             ep_cum, key) = carry
             if cfg.normalize_input:
                 obs_rms = rms_update(obs_rms, obs)
                 if self.use_central_value:
@@ -313,6 +338,25 @@ class PPO:
 
             ep_ret = ep_ret + reward
             ep_len = ep_len + 1
+            # episode_cumulative: accumulate per-env term sums; capture
+            # finished-episode sum/min/max this step (the compiled
+            # analogue of the reference's deque of finished episodes,
+            # rlgames_utils.py:157-172)
+            if ep_cum is not None:
+                ec = extras["episode_cumulative"]
+                ep_cum = {k: ep_cum[k] + ec[k] for k in ep_cum}
+                inf = jnp.float32(jnp.inf)
+                captured["_ep_cum"] = {
+                    k: (
+                        jnp.sum(jnp.where(done, v, 0.0)),
+                        jnp.min(jnp.where(done, v, inf)),
+                        jnp.max(jnp.where(done, v, -inf)),
+                    )
+                    for k, v in ep_cum.items()
+                }
+                ep_cum = {
+                    k: jnp.where(done, 0.0, v) for k, v in ep_cum.items()
+                }
             t = Transition(
                 obs=obs,
                 action=action,
@@ -332,15 +376,16 @@ class PPO:
             ep_len = jnp.where(done, 0, ep_len)
             return (
                 env_state, next_obs, next_states, obs_rms, state_rms,
-                ep_ret, ep_len, key,
+                ep_ret, ep_len, ep_cum, key,
             ), t
 
         carry = (
             ts.env_state, ts.obs, ts.states, ts.obs_rms, ts.state_rms,
-            ts.ep_return, ts.ep_len, ts.key,
+            ts.ep_return, ts.ep_len, ts.ep_cum, ts.key,
         )
         carry, traj = jax.lax.scan(step_fn, carry, None, length=cfg.horizon_length)
-        env_state, obs, states, obs_rms, state_rms, ep_ret, ep_len, key = carry
+        (env_state, obs, states, obs_rms, state_rms, ep_ret, ep_len,
+         ep_cum, key) = carry
         ts = ts.replace(
             env_state=env_state,
             obs=obs,
@@ -349,6 +394,7 @@ class PPO:
             state_rms=state_rms,
             ep_return=ep_ret,
             ep_len=ep_len,
+            ep_cum=ep_cum,
             key=key,
         )
         # bootstrap value for the state after the last transition
@@ -603,6 +649,21 @@ class PPO:
                 f"env/{k}": jnp.mean(v)
                 for k, v in traj.extras.get("_env_metrics", {}).items()
             },
+            # per-episode cumulative term stats over episodes finished
+            # this rollout (reference episode_cumulative/<k> mean +
+            # _min/_max series, rlgames_utils.py:198-204)
+            **{
+                name: stat
+                for k, (s, mn, mx) in traj.extras.get("_ep_cum", {}).items()
+                for name, stat in (
+                    (
+                        f"episode_cumulative/{k}",
+                        jnp.sum(s) / jnp.maximum(jnp.sum(traj.n_done), 1),
+                    ),
+                    (f"episode_cumulative_min/{k}_min", jnp.min(mn)),
+                    (f"episode_cumulative_max/{k}_max", jnp.max(mx)),
+                )
+            },
             "reward_mean_step": jnp.mean(traj.reward),
             **aux_metrics,
         }
@@ -853,6 +914,12 @@ class PPO:
                             k: v
                             for k, v in last_metrics.items()
                             if k.startswith("env/")
+                            or (
+                                # only once episodes actually finished
+                                # (reference new_finished_episodes gate)
+                                k.startswith("episode_cumulative")
+                                and np.isfinite(v)
+                            )
                         },
                     },
                     frames,
@@ -871,6 +938,9 @@ class PPO:
                 self.env.accumulate_env_states(ts.env_state)
                 if epoch % 50 == 0:
                     self.env.dump_env_states()
+            # algo -> env frame report (reference set_train_info
+            # plumbing, rlgames_utils.py:274-281)
+            self.env.set_train_info(last_metrics["frames"])
             stop_requested = False
             if on_epoch is not None:
                 stop_requested = bool(on_epoch(ts, last_metrics))

@@ -387,6 +387,7 @@ class SAC:
                 **{k: float(v) for k, v in metrics.items()},
                 "mean_episode_return": mean_ret,
                 "epoch": epoch,
+                "frames": epoch * steps_per_epoch,
                 "fps": steps_per_epoch / (time.time() - te),
             }
             if logger is not None:
@@ -405,6 +406,8 @@ class SAC:
                     f"epoch {epoch:6d} | return {mean_ret:10.2f} | "
                     f"fps {last['fps']:9.0f} | alpha {last['alpha']:.3f}"
                 )
+            # algo -> env frame report (reference set_train_info plumbing)
+            self.env.set_train_info(last["frames"])
             if on_epoch is not None and on_epoch(ts, last):
                 break  # PPO-train hook parity: True stops training
             if mean_ret == mean_ret and mean_ret >= cfg.score_to_win:

@@ -304,6 +304,18 @@ class AllegroKukaReorientation(VecTask):
             "targets": dof,
             "last_success": jnp.zeros((), bool),
             "key": kk,
+            "rew_terms": {
+                k: jnp.zeros(())
+                for k in (
+                    "fingertip_delta_rew",
+                    "lifting_rew",
+                    "lift_bonus_rew",
+                    "keypoint_rew",
+                    "kuka_actions_penalty",
+                    "allegro_actions_penalty",
+                    "bonus_rew",
+                )
+            },
         }
         if successes is not None:
             task["successes"] = successes
@@ -407,9 +419,11 @@ class AllegroKukaReorientation(VecTask):
         closest_kp = jnp.minimum(closest_kp, kp_max)
 
         # action penalties on dof velocities (:831-840)
-        pen = -self.kuka_pen_scale * jnp.sum(
-            jnp.abs(qd[self.v_idx[:7]])
-        ) - self.allegro_pen_scale * jnp.sum(jnp.abs(qd[self.v_idx[7:]]))
+        kuka_pen = -self.kuka_pen_scale * jnp.sum(jnp.abs(qd[self.v_idx[:7]]))
+        allegro_pen = -self.allegro_pen_scale * jnp.sum(
+            jnp.abs(qd[self.v_idx[7:]])
+        )
+        pen = kuka_pen + allegro_pen
 
         # success machinery (:860-875)
         tol_kp = task["tolerance"] * self.keypoint_scale / OBJ_SIZE
@@ -455,6 +469,18 @@ class AllegroKukaReorientation(VecTask):
             "targets": task["targets"],
             "last_success": is_success,
             "key": key,
+            # per-step reward terms for the trainer's episode_cumulative
+            # stats (reference compute_kuka_reward term list,
+            # allegro_kuka_base.py:913-928)
+            "rew_terms": {
+                "fingertip_delta_rew": tip_delta_rew,
+                "lifting_rew": lifting_rew,
+                "lift_bonus_rew": lift_bonus,
+                "keypoint_rew": kp_rew,
+                "kuka_actions_penalty": kuka_pen,
+                "allegro_actions_penalty": allegro_pen,
+                "bonus_rew": bonus,
+            },
         }
         return reward, done, new_task
 
@@ -469,6 +495,10 @@ class AllegroKukaReorientation(VecTask):
         return {
             "true_objective": task["successes"],
             "successes": task["successes"],
+            # per-step term dict consumed by the trainer's in-rollout
+            # episode_cumulative accumulator (learn/ppo.py; reference
+            # rlgames_utils.py:157-172 deque observer)
+            "episode_cumulative": task["rew_terms"],
         }
 
 

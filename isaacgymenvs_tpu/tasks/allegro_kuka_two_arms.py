@@ -220,6 +220,16 @@ class AllegroKukaTwoArmsReorientation(AllegroKukaReorientation):
             "targets": dof,
             "last_success": jnp.zeros((), bool),
             "key": kk,
+            "rew_terms": {
+                k: jnp.zeros(())
+                for k in (
+                    "fingertip_delta_rew",
+                    "lifting_rew",
+                    "lift_bonus_rew",
+                    "keypoint_rew",
+                    "bonus_rew",
+                )
+            },
         }
         if successes is not None:
             task["successes"] = successes
@@ -344,6 +354,15 @@ class AllegroKukaTwoArmsReorientation(AllegroKukaReorientation):
             "targets": task["targets"],
             "last_success": is_success,
             "key": key,
+            # per-step terms for episode_cumulative stats (reference
+            # allegro_kuka_two_arms.py:861-876; no action penalties)
+            "rew_terms": {
+                "fingertip_delta_rew": tip_delta_rew,
+                "lifting_rew": lifting_rew,
+                "lift_bonus_rew": lift_bonus,
+                "keypoint_rew": kp_rew,
+                "bonus_rew": bonus,
+            },
         }
         return reward, done, new_task
 

@@ -69,6 +69,14 @@ class AnymalTerrain(Anymal):
         pts = np.stack(np.meshgrid(gx, gy, indexing="ij"), -1).reshape(-1, 2)
         self.height_points = jnp.asarray(pts, jnp.float32)  # (140, 2)
         self.num_height_points = len(pts)
+        # patch size for the dense height-scan lookup: the scan's world
+        # extent around the base (any yaw) plus bilinear support
+        hs = float(
+            self.cfg["env"].get("terrain", {}).get("horizontalScale", 0.1)
+        ) or 0.1
+        radius = float(np.max(np.linalg.norm(pts, axis=1)))
+        p = int(np.ceil(2.0 * radius / hs)) + 4
+        self._scan_patch = ((p + 7) // 8) * 8  # sublane-aligned
 
         if self.terrain_type not in ("plane", "none"):
             grid = TerrainGrid(
@@ -232,7 +240,10 @@ class AnymalTerrain(Anymal):
             [self.height_points, jnp.zeros((self.num_height_points, 1))], -1
         )
         world = maths.quat_rotate(yaw_quat, pts3)[:, :2] + q[0:2]
-        return self.terrain.sample(world)
+        # patch-sliced dense lookup (Terrain.sample_patch): the scan
+        # grid spans ~±0.9 m of the base, so one (P, P) patch per env
+        # replaces 4 x 140 pointwise gathers with two small einsums
+        return self.terrain.sample_patch(q[0:2], world, P=self._scan_patch)
 
     def observe(self, q, qd, kin, sensors, task, actions, progress):
         base_quat = q[3:7]

@@ -255,6 +255,17 @@ class ShadowHand(VecTask):
             "rb_force": jnp.zeros(3),
             "force_prob": force_prob,
             "key": kkeep,
+            "rew_terms": {
+                k: jnp.zeros(())
+                for k in (
+                    "dist_rew",
+                    "rot_rew",
+                    "action_penalty",
+                    "reach_goal_rew",
+                    "fall_rew",
+                    "timeout_rew",
+                )
+            },
         }
         return q, qd, task
 
@@ -448,13 +459,33 @@ class ShadowHand(VecTask):
             "rb_force": rb_force,
             "force_prob": task["force_prob"],
             "key": key,
+            # per-step reward terms for episode_cumulative stats
+            # (reference dextreme producer, allegro_hand_dextreme.py
+            # :455-464; the plain ShadowHand terms are the subset it
+            # shares with compute_hand_reward)
+            "rew_terms": {
+                "dist_rew": dist_rew,
+                "rot_rew": rot_rew,
+                "action_penalty": action_penalty * self.action_penalty_scale,
+                "reach_goal_rew": goal_reached * self.reach_goal_bonus,
+                "fall_rew": fell * self.fall_penalty,
+                "timeout_rew": (
+                    (progress >= self.max_episode_length - 1)
+                    * (0.5 * self.fall_penalty)
+                    if self.max_consecutive_successes > 0
+                    else jnp.zeros(())
+                ),
+            },
         }
         return reward, done, new_task
 
     def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
         """Consecutive-success stat for the eval printer / TB (reference
         shadow_hand.py:426-435 success-stat printer + av_factor track)."""
-        return {"consecutive_successes": task["successes"]}
+        return {
+            "consecutive_successes": task["successes"],
+            "episode_cumulative": task["rew_terms"],
+        }
 
     def _act_ma(self, task):
         """EMA coefficient for target smoothing; DeXtreme overrides with

@@ -111,3 +111,94 @@ def test_env_extras_auto_logged():
     assert env_keys, metrics.keys()
     import numpy as _np
     assert all(_np.isfinite(float(metrics[k])) for k in env_keys)
+
+
+class _EpCumWrapper:
+    """Env wrapper injecting an extras['episode_cumulative'] term dict
+    (the reference producer contract, allegro_kuka_base.py:923-928)."""
+
+    def __init__(self, env):
+        self._env = env
+
+    def __getattr__(self, k):
+        return getattr(self._env, k)
+
+    def step(self, state, actions):
+        state, obs, rew, done, extras = self._env.step(state, actions)
+        extras = dict(extras)
+        extras["episode_cumulative"] = {"r": rew}
+        return state, obs, rew, done, extras
+
+
+def test_episode_cumulative_stats():
+    """extras['episode_cumulative'] terms accumulate per env inside the
+    jitted rollout and surface as episode_cumulative/<k> (+_min/_max)
+    finished-episode stats (reference rlgames_utils.py:157-172,198-204).
+    Using the reward itself as the term makes the invariant exact: the
+    mean per-episode cumulative 'r' of episodes finished in a rollout
+    must equal that rollout's mean finished-episode return."""
+    cfg = {
+        "env": {"numEnvs": 32, "clipObservations": 5.0, "clipActions": 1.0},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    env = _EpCumWrapper(task_map["Cartpole"](cfg))
+    agent = PPO(
+        env,
+        {"config": {"horizon_length": 64, "minibatch_size": 512,
+                    "mini_epochs": 1}},
+        seed=3,
+    )
+    ts = agent.init()
+    assert ts.ep_cum is not None and "r" in ts.ep_cum
+    # run a few epochs so some episodes finish mid-rollout
+    for _ in range(6):
+        ts, metrics = agent._train_epoch(ts)
+    metrics = {k: float(v) for k, v in metrics.items()}
+    assert "episode_cumulative/r" in metrics
+    n = metrics["n_episodes"]
+    assert n > 0, "need finished episodes for the invariant"
+    want = metrics["ep_return_sum"] / n
+    np.testing.assert_allclose(
+        metrics["episode_cumulative/r"], want, rtol=1e-5
+    )
+    assert (
+        metrics["episode_cumulative_min/r_min"]
+        <= metrics["episode_cumulative/r"]
+        <= metrics["episode_cumulative_max/r_max"]
+    )
+
+
+def test_allegro_kuka_emits_episode_cumulative():
+    """The AllegroKuka family is the reference's episode_cumulative
+    producer (allegro_kuka_base.py:923-928): its per-step reward terms
+    must flow through to the trainer's epoch metrics."""
+    from isaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config(
+        ["task=AllegroKukaReorientation", "num_envs=4"]
+    )["task"]
+    env = task_map["AllegroKukaReorientation"](cfg)
+    agent = PPO(env, {"config": {"horizon_length": 2, "minibatch_size": 8,
+                                 "mini_epochs": 1}}, seed=0)
+    ts = agent.init()
+    assert ts.ep_cum is not None and "lifting_rew" in ts.ep_cum
+    ts, metrics = agent._train_epoch(ts)
+    assert "episode_cumulative/keypoint_rew" in metrics
+
+
+def test_set_train_info_frames():
+    """Trainer reports its frame counter to the env every epoch
+    (reference set_train_info plumbing, vec_task.py:187-194)."""
+    cfg = {
+        "env": {"numEnvs": 16, "clipObservations": 5.0, "clipActions": 1.0},
+        "sim": {"dt": 1 / 60, "substeps": 2},
+    }
+    env = task_map["Cartpole"](cfg)
+    agent = PPO(
+        env,
+        {"config": {"horizon_length": 8, "minibatch_size": 128,
+                    "mini_epochs": 1, "max_epochs": 2}},
+        seed=0,
+    )
+    agent.train(max_epochs=2)
+    assert env.total_train_env_frames == 2 * 8 * 16

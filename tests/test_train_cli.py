@@ -68,3 +68,31 @@ def test_cli_profile_flag(tmp_path, monkeypatch):
     )
     prof = os.path.join(tmp_path, "trace", "plugins", "profile")
     assert os.path.isdir(prof) and os.listdir(prof)
+
+
+def test_cli_capture_video(tmp_path, monkeypatch):
+    """capture_video=True records deterministic-policy replay frames
+    during training (reference train.py:132-144 RecordVideo path,
+    rendered headlessly via utils.replay)."""
+    monkeypatch.chdir(tmp_path)
+    import train as train_mod
+
+    train_mod.main(
+        [
+            "task=Cartpole",
+            "num_envs=8",
+            "max_iterations=1",
+            "pipeline=cpu",
+            "headless=True",
+            "experiment=VidSmoke",
+            "train.params.config.name=VidSmoke",
+            "train.params.config.minibatch_size=64",
+            "capture_video=True",
+            "capture_video_freq=1",
+            "capture_video_len=3",
+        ]
+    )
+    vdir = os.path.join("runs", "VidSmoke", "videos", "epoch_1")
+    assert os.path.exists(vdir + ".npz"), "replay trajectory must be saved"
+    frames = [f for f in os.listdir(vdir) if f.endswith(".png")]
+    assert frames, "rendered video frames must exist"
