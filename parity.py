@@ -422,6 +422,19 @@ def run_success_task(key: str, max_epochs_cap=None):
     t0 = time.time()
     ts, last = agent.train(max_epochs=cap, on_epoch=on_epoch, log_every=25)
     wall = time.time() - t0
+    try:  # keep the trained policy for post-hoc behavior analysis
+        os.makedirs("runs/r5", exist_ok=True)
+        if algo == "sac":
+            agent.save(f"runs/r5/{key}.ckpt", ts)
+        else:
+            agent.save(
+                f"runs/r5/{key}.ckpt",
+                ts,
+                epoch=int(last.get("epoch", 0)),
+                frames=int(last.get("frames", 0)),
+            )
+    except Exception as e:
+        print(f"  checkpoint save failed: {e}")
     if hit["frames"] is None:
         ev = _eval_success(agent, env, ts, mode, eval_steps)
         evals.append([int(last.get("frames", 0)), ev])
