@@ -110,7 +110,7 @@ def run_task(name: str, max_epochs_cap=None):
     cfg = load_config([f"task={name}", "headless=True"])
     env = task_map[name](cfg["task"])
     train_params = cfg["train"]["params"]
-    seed = int(cfg.get("seed", 42))
+    seed = int(os.environ.get("PARITY_SEED", cfg.get("seed", 42)))
     algo = str(train_params.get("algo", {}).get("name", "a2c_continuous"))
     if algo == "amp_continuous":
         # AMP's reward IS the discriminator score -- plain PPO on the
