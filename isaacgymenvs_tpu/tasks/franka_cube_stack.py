@@ -176,7 +176,7 @@ class FrankaCubeStack(VecTask):
             jnp.concatenate([pb, jnp.array([self.table_height + self.cubeB_size / 2])])
         )
         q = q.at[self.bq + 3 : self.bq + 7].set(qb)
-        return q, jnp.zeros(m.nv), ()
+        return q, jnp.zeros(m.nv), {"stack": jnp.zeros((), bool)}
 
     # ---- OSC control ----------------------------------------------------
     def compute_force(self, action, q, qd, task):
@@ -279,7 +279,13 @@ class FrankaCubeStack(VecTask):
             + self.r_align_scale * align_reward,
         )
         done = stack | (progress >= self.max_episode_length - 1)
-        return rewards, done, task
+        return rewards, done, {"stack": stack}
+
+    def extra_outputs(self, q, qd, kin, sensors, task, actions, progress):
+        """Stack-success flag (the reference ends the episode on stack,
+        franka_cube_stack.py compute_franka_reward; exposing it as
+        `successes` feeds the success-keyed parity eval)."""
+        return {"successes": task["stack"].astype(jnp.float32)}
 
     def true_objective(self, q, qd):
         return q[self.aq + 2]

@@ -288,6 +288,16 @@ SUCCESS_SPECS = {
         budget=20000 * 8 * 4096,
         epoch_cap=20000,
     ),
+    # FrankaCubeStack: success = the episode-ending stack condition
+    # (aligned + on-top + gripper away, franka_cube_stack.py); budget =
+    # FrankaCubeStackPPO.yaml 10000 epochs x 32 x 8192.
+    "FrankaCubeStack": dict(
+        overrides=["task=FrankaCubeStack"],
+        eval_mode="end_rate",
+        milestone=0.80,
+        budget=10000 * 32 * 8192,
+        epoch_cap=10000,
+    ),
     # IndustReal pegs at a TPU-native env count (VERDICT r4 item 6; the
     # reference's 128 envs is a PhysX constraint, docs/factory.md).
     # Budget = the reference's FRAME budget (8192 epochs x 128 steps x
