@@ -516,7 +516,7 @@ def main():
         "rate / mean consecutive successes under a deterministic-policy",
         "eval — instead of a return milestone (see SUCCESS_SPECS).",
         "",
-        "| task | metric | milestone | frames to milestone | reference budget | within budget | final return | final success | fps |",
+        "| task | metric | milestone | frames to milestone | reference budget | within budget | final return | best/final success | fps |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
@@ -524,12 +524,20 @@ def main():
             lines.append(f"| {name} | — | — | error: {r['error']} | | | | | |")
             continue
         fs = r.get("final_success_eval")
+        evs = [v for _, v in r.get("success_evals", []) if v == v]
+        best = max(evs) if evs else None
+        if best is not None and fs is not None:
+            succ = f"{best:.3f} / {fs:.3f}"
+        elif fs is not None:
+            succ = f"{fs:.3f}"
+        else:
+            succ = ""
         lines.append(
             f"| {name} | {r.get('metric', 'return')} | {r['milestone']} | "
             f"{r['frames_to_milestone']} | "
             f"{r['reference_budget_env_steps']} | {r['within_reference_budget']} | "
             f"{r['final_mean_return']:.1f} | "
-            f"{'' if fs is None else f'{fs:.3f}'} | {r['fps']} |"
+            f"{succ} | {r['fps']} |"
         )
     open("PARITY.md", "w").write("\n".join(lines) + "\n")
     print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "curve"}
