@@ -212,10 +212,44 @@ def _strip_points(model, bodies):
 
 
 # finger pad sample points (both finger body frames: pad face is the y=0
-# plane, pad spans z in [finger_length - pad_length, finger_length])
-_PAD_Z = FINGER_LENGTH - FINGERPAD_LENGTH * np.array([1.0, 0.5, 0.06])
+# plane, pad spans z in [finger_length - pad_length, finger_length]).
+# Density is a PER-TASK trade against the top-K active-contact cap
+# (sim.max_active_contacts 16 on the nut-bolt family):
+#  * sparse 2x3 (12/gripper) for tasks that must preserve nut-bolt
+#    THREAD rows in the active set (Screw, and IndustReal insertion) —
+#    denser pads crowd the thread contacts out of the top-K and the
+#    pressed nut sinks through the helix;
+#  * 4x5 for Place (holds the nut through free-space transport);
+#  * dense 6x7 for Pick's grasp ACQUISITION: pad points are the ONLY
+#    finger-vs-nut contact, so with sparse pads the closing fingers
+#    sweep PAST the free hex nut whenever a corner falls between points
+#    (scripted perfect-servo close+lift: 48% at 2x3, 91% at 6x7).
+PAD_POINTS_SPARSE = np.array(
+    [
+        [sx, 0.0, z]
+        for z in FINGER_LENGTH - FINGERPAD_LENGTH * np.array([1.0, 0.5, 0.06])
+        for sx in (-0.006, 0.006)
+    ],
+    np.float32,
+)
 PAD_POINTS = np.array(
-    [[sx, 0.0, z] for z in _PAD_Z for sx in (-0.006, 0.006)], np.float32
+    [
+        [sx, 0.0, z]
+        for z in FINGER_LENGTH
+        - FINGERPAD_LENGTH * np.array([1.0, 0.75, 0.5, 0.25, 0.03])
+        for sx in (-0.009, -0.003, 0.003, 0.009)
+    ],
+    np.float32,
+)
+PAD_POINTS_DENSE = np.array(
+    [
+        [sx, 0.0, z]
+        for z in FINGER_LENGTH
+        - FINGERPAD_LENGTH
+        * np.array([1.0, 0.84, 0.68, 0.52, 0.36, 0.2, 0.03])
+        for sx in (-0.009, -0.0054, -0.0018, 0.0018, 0.0054, 0.009)
+    ],
+    np.float32,
 )
 
 
@@ -226,6 +260,9 @@ class NutBoltBase(VecTask):
     with_bolt = True
     ctrl_mode = "joint_space_id"
     gripper_target = 0.0  # closed (Place/Screw hold the nut)
+    # sparse default: keeps thread rows inside the top-K active set
+    # (see the PAD_POINTS density note above); Place/Pick override
+    pad_points = PAD_POINTS_SPARSE
 
     def __init__(self, cfg):
         env = cfg["env"]
@@ -290,8 +327,9 @@ class NutBoltBase(VecTask):
         model, rim_idx = add_contact_points(model, nut_body, rims, friction=0.25)
         model, thr_idx = add_contact_points(model, nut_body, thread, friction=0.18)
         # finger pad points (vs nut SDF)
-        model, lf_idx = add_contact_points(model, lf, PAD_POINTS, friction=0.9)
-        model, rf_idx = add_contact_points(model, rf, PAD_POINTS, friction=0.9)
+        pads = np.asarray(self.pad_points)
+        model, lf_idx = add_contact_points(model, lf, pads, friction=0.9)
+        model, rf_idx = add_contact_points(model, rf, pads, friction=0.9)
         # nut SDF for the finger pads
         model, nut_g = attach_sdf(model, nut_body, nut_sdf_grid())
         model = pair_points_with_sdf(model, lf_idx + rf_idx, nut_g)
@@ -470,6 +508,9 @@ class FactoryTaskNutBoltPick(NutBoltBase):
 
     ctrl_mode = "joint_space_id"
     gripper_target = 0.04  # fingers open during the RL phase
+    # grasp acquisition: dense pad grid so the closing fingers cannot
+    # sweep between contact points past the free-standing hex nut
+    pad_points = PAD_POINTS_DENSE
 
     def __init__(self, cfg):
         rl = cfg.get("rl", {})
@@ -626,6 +667,9 @@ class FactoryTaskNutBoltPlace(NutBoltBase):
     base) and the bolt axis (from the bolt tip)."""
 
     ctrl_mode = "joint_space_id"
+    # 4x5 grip grid: holds the nut through free-space transport (no
+    # thread rows compete for the active set until placement)
+    pad_points = PAD_POINTS
 
     def __init__(self, cfg):
         rl = cfg.get("rl", {})

@@ -53,7 +53,7 @@ from .factory_nut_bolt import (
     FINGER_LENGTH,
     FINGERPAD_LENGTH,
     HAND_LENGTH,
-    PAD_POINTS,
+    PAD_POINTS_SPARSE,
     _strip_points,
     _stratified_pick,
 )
@@ -261,8 +261,8 @@ class IndustRealTaskPegsInsert(VecTask):
         model, socket_g = attach_sdf(model, socket_body, socket_sdf_grid())
         model = pair_points_with_sdf(model, cp_idx, socket_g)
         # finger pads vs plug SDF (grip force transmission)
-        model, lf_idx = add_contact_points(model, lf, PAD_POINTS, friction=1.0)
-        model, rf_idx = add_contact_points(model, rf, PAD_POINTS, friction=1.0)
+        model, lf_idx = add_contact_points(model, lf, PAD_POINTS_SPARSE, friction=1.0)
+        model, rf_idx = add_contact_points(model, rf, PAD_POINTS_SPARSE, friction=1.0)
         model, plug_g = attach_sdf(model, plug_body, plug_sdf_grid())
         model = pair_points_with_sdf(model, lf_idx + rf_idx, plug_g)
         self.plug_body, self.socket_body = plug_body, socket_body
