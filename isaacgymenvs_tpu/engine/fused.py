@@ -1537,7 +1537,8 @@ def _integrate(s: _Spec, q, qd_new, h):
 # ---------------------------------------------------------------------------
 
 
-def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
+def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool,
+               warm_reset_every: int = 0):
     n_slices = p.substeps * p.solver_iterations
     h = p.dt / n_slices
     gravity = np.asarray(jax.device_get(p.gravity), np.float32)
@@ -1546,7 +1547,14 @@ def _step_math(s: _Spec, p: SimParams, has_xfrc: bool, has_qt: bool):
     def run(q, qd, qfrc, xfrc, q_target, dyn=None):
         warm = None  # substep builds selected-size zeros on the first slice
         bf = bt = doff = None
-        for _ in range(n_slices):
+        for i in range(n_slices):
+            if warm_reset_every and i and i % warm_reset_every == 0:
+                # merged-decimation calls (vec_task
+                # fused_merge_control_slices) reset the contact warm
+                # start at the original per-call boundaries so the
+                # merged window solves EXACTLY like control_freq_inv
+                # separate kernel invocations
+                warm = None
             q, qd, warm, bf, bt, doff = substep(
                 q, qd, qfrc, xfrc, q_target, warm, dyn
             )
@@ -1709,6 +1717,7 @@ def physics_step_fused(
     q_target: jax.Array | None = None,  # (N, nq)
     use_pallas: bool | None = None,
     dyn: dict | None = None,  # {DYN_LEAVES|"gravity": (N, rows) arrays}
+    warm_reset_every: int = 0,  # reset contact warm-start every k slices
 ) -> FusedOut:
     """Batched full physics step via the fused kernel.
 
@@ -1727,18 +1736,18 @@ def physics_step_fused(
         )
     dyn_names = tuple(sorted(dyn))
     key = (id(model), id(params), N, xfrc is not None, q_target is not None,
-           dyn_names)
+           dyn_names, warm_reset_every)
     if key not in _CACHE:
         _CACHE[key] = _build_call(model, params, N, xfrc is not None,
                                   q_target is not None, use_pallas,
-                                  dyn_names)
+                                  dyn_names, warm_reset_every)
     return _CACHE[key](q, qd, qfrc, xfrc, q_target, dyn)
 
 
 def _build_call(model, params, N, has_xfrc, has_qt, use_pallas,
-                dyn_names=()):
+                dyn_names=(), warm_reset_every=0):
     s = _extract(model)
-    run = _step_math(s, params, has_xfrc, has_qt)
+    run = _step_math(s, params, has_xfrc, has_qt, warm_reset_every)
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     # env-lane tile is FIXED at 128: Mosaic requires lane-axis blocks be a

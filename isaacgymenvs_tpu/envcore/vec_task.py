@@ -141,6 +141,16 @@ class VecTask:
         # fused math path on any backend; False always vmaps the engine
         sim_cfg = cfg.get("sim", {}) or {}
         self.use_fused = sim_cfg.get("use_fused", "auto")
+        # merge the control_freq_inv decimation slices into ONE fused
+        # kernel invocation (substeps x control_freq_inv internal
+        # slices): amortizes kernel launches + the terrain/SDF entry
+        # sampling across the whole env step. The entry-sampled contact
+        # planes then freeze for control_freq_inv slices instead of one
+        # — a wider first-order window (opt-in per task cfg; AnymalTerrain
+        # uses it: feet move <~2 cm per env step vs 10 cm terrain cells).
+        self.fused_merge_slices = bool(
+            sim_cfg.get("fused_merge_control_slices", False)
+        )
         self._fused_cap_cache = None
 
     @property
@@ -536,6 +546,10 @@ class VecTask:
             if grav_batched:
                 fused_dyn["gravity"] = params_b.gravity
 
+        merge_slices = (
+            fused_on and self.fused_merge_slices and self.control_freq_inv > 1
+        )
+
         def control_loop(carry, _):
             q, qd = carry
             if fused_on:
@@ -569,10 +583,43 @@ class VecTask:
             )(model_b, params_b, q, qd, qfrc, xfrc, q_target)
             return (q, qd), sensors
 
-        (q, qd), sensor_hist = jax.lax.scan(
-            control_loop, (q0, qd0), None, length=self.control_freq_inv
-        )
-        sensors = jax.tree.map(lambda x: x[-1], sensor_hist)
+        if merge_slices:
+            # ONE fused kernel invocation covers the whole decimation
+            # window (substeps x control_freq_inv internal slices):
+            # amortizes kernel launches and the terrain/SDF entry
+            # sampling; entry planes freeze across the env step
+            dyn_step = dict(fused_dyn)
+            if self.terrain is not None:
+                dyn_step.update(
+                    _fused.terrain_dyn(self.model, self.terrain, q0, qd0)
+                )
+            if len(self.model.spair_point):
+                dyn_step.update(_fused.sdf_dyn(self.model, q0, qd0))
+            # total integrated time = control_freq_inv * dt; the kernel
+            # slices h = dt / (substeps * solver_iterations), so scale
+            # BOTH dt and substeps to keep h identical to the per-slice
+            # path while covering the whole decimation window
+            merged = self.sim_params.replace(
+                dt=self.sim_params.dt * self.control_freq_inv,
+                substeps=self.sim_params.substeps * self.control_freq_inv,
+            )
+            out = _fused.physics_step_fused(
+                self.model, merged, q0, qd0, qfrc,
+                xfrc=xfrc, q_target=q_target, dyn=dyn_step,
+                # solve exactly like control_freq_inv separate calls:
+                # warm-start resets at the original call boundaries
+                warm_reset_every=(
+                    self.sim_params.substeps
+                    * self.sim_params.solver_iterations
+                ),
+            )
+            q, qd = out.q, out.qd
+            sensors = Sensors(out.body_force, out.body_torque, out.dof_force)
+        else:
+            (q, qd), sensor_hist = jax.lax.scan(
+                control_loop, (q0, qd0), None, length=self.control_freq_inv
+            )
+            sensors = jax.tree.map(lambda x: x[-1], sensor_hist)
 
         if type(self).perturb_state is not VecTask.perturb_state:
             key, kps = jax.random.split(key)
