@@ -115,15 +115,25 @@ def main():
         names = list(TABLE) if sel == "all" else sel.split(",")
         tasks = {}
         for name in names:
-            if name == "Ant":
+            # "Task:envs" overrides the table's operating point (e.g.
+            # IndustRealTaskPegsInsert:1024 to measure the SDF pipeline
+            # beyond the reference's PhysX-bound 128 envs)
+            n_env = None
+            if ":" in name:
+                name, _, n_str = name.partition(":")
+                n_env = int(n_str)
+            label = name if n_env is None else f"{name}:{n_env}"
+            if name == "Ant" and n_env is None:
                 tasks["Ant"] = round(ant_sps)
                 continue
             try:
-                tasks[name] = round(
-                    measure(name, TABLE.get(name, num_envs), horizon)
+                tasks[label] = round(
+                    measure(
+                        name, n_env or TABLE.get(name, num_envs), horizon
+                    )
                 )
             except Exception as e:  # keep the headline line intact
-                tasks[name] = f"error: {type(e).__name__}: {e}"
+                tasks[label] = f"error: {type(e).__name__}: {e}"
         out["tasks"] = tasks
 
     print(json.dumps(out))
