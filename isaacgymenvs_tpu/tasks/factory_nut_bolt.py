@@ -892,7 +892,18 @@ class FactoryTaskNutBoltScrew(NutBoltBase):
             q, qd, _dyn.forward_kinematics(self.model, q, qd, self._meta)
         )
         success = jnp.linalg.norm(self.target_pos - nut_com) < THREAD_PITCH
-        return {"successes": success.astype(jnp.float32)}
+        # helix descent from the reset seat (BOLT_TOP - 0.5 mm): the
+        # per-episode progress metric. Full screw (success above) is
+        # unreachable in one episode with a fixed-closed gripper — total
+        # rotation is capped by the wrist joint's travel (~2 rad ≈ 2 mm
+        # descent under an IDEAL scripted press-and-rotate; the
+        # reference's 8192-step budget faces the same wrist limit), so
+        # parity is keyed on descent, not the full-screw flag.
+        descent = (BOLT_TOP - 5e-4) - q[self.nq + 2]
+        return {
+            "successes": success.astype(jnp.float32),
+            "descent": descent,
+        }
 
     def true_objective(self, q, qd):
         nq = self.nq
