@@ -432,6 +432,16 @@ def run_success_task(key: str, max_epochs_cap=None):
                                metric_key)
             evals.append([int(metrics["frames"]), ev])
             print(f"  success-eval @ epoch {epoch}: {ev:.3f}", flush=True)
+            try:  # stall-resilient: keep a checkpoint at every eval (a
+                # wedged TPU tunnel + timeout otherwise loses the run's
+                # policy along with the end-of-run save)
+                if algo != "sac":
+                    agent.save(
+                        f"runs/r5/{key}.ckpt", ts, epoch=epoch,
+                        frames=int(metrics["frames"]),
+                    )
+            except Exception:
+                pass
             if ev == ev and ev >= milestone:
                 hit["frames"] = int(metrics["frames"])
                 hit["epoch"] = epoch
