@@ -317,6 +317,19 @@ SUCCESS_SPECS = {
         budget=8192 * 128 * 128,
         epoch_cap=2048,
     ),
+    # AllegroKukaTwoArms: the last task family with zero learning
+    # evidence (VERDICT r4). Keyed on consecutive successes (staged
+    # keypoint task, allegro_kuka_two_arms.py); milestone = the first
+    # reliable successes appearing at deterministic eval (>= 0.5 mean)
+    # -- evidence of the staged reward working end-to-end, not full
+    # convergence (the reference trains this for ~1.3B frames).
+    "AllegroKukaTwoArmsReorientation": dict(
+        overrides=["task=AllegroKukaTwoArmsReorientation"],
+        eval_mode="end_mean",
+        milestone=0.5,
+        budget=5000 * 8 * 8192,
+        epoch_cap=4000,
+    ),
     # Recurrent + asymmetric-critic recipe evidence
     # (ShadowHandPPOAsymmLSTM.yaml: 10000 epochs x 16 x 16384 = 2.62B).
     # Milestone in consecutive successes, matching the AllegroHand row.
