@@ -7,6 +7,13 @@ lstm units/layers, before_mlp, layer_norm) trained with truncated BPTT of
 per-step hidden states; the update re-runs the cell over seq_length-long
 windows starting from those stored (stale) states, minibatching over
 sequences. Hidden state resets to zero on env done.
+
+Documented divergence: the recurrent trainer uses the LSTM's own value
+head on the policy observations; the reference's separate central-value
+network on privileged states (asym critic) is supported only in the
+feed-forward PPO path. The AsymmLSTM recipes therefore train here as
+recurrent actor-critic on the policy obs — same information flow as the
+reference's non-Asymm LSTM configs.
 """
 from __future__ import annotations
 
