@@ -547,6 +547,14 @@ def main():
         "reference's own acceptance criterion — end-of-episode success",
         "rate / mean consecutive successes under a deterministic-policy",
         "eval — instead of a return milestone (see SUCCESS_SPECS).",
+        "The legacy return-keyed ShadowHand row's milestone 3000",
+        "corresponds to ~5 consecutive in-hand successes on this reward",
+        "scale (docs/curves.md sh_long_curve); the AllegroHand and",
+        "ShadowHandLSTM rows key on consecutive successes directly.",
+        "Seed-suffixed rows (_sN) are independent seeds of the same",
+        "task; FactoryTaskNutBoltScrew keys on per-episode helix",
+        "descent (metres) — see SUCCESS_SPECS for why full-screw is",
+        "out of reach for BOTH implementations.",
         "",
         "| task | metric | milestone | frames to milestone | reference budget | within budget | final return | best/final success | fps |",
         "|---|---|---|---|---|---|---|---|---|",
