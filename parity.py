@@ -179,11 +179,13 @@ def run_task(name: str, max_epochs_cap=None):
                 hit["frames"] = int(metrics["frames"])
                 hit["epoch"] = epoch
                 return True  # milestone reached: stop early
-        if time_budget and time.time() - t0 > time_budget:
+        if _tb0.setdefault("t", time.time()) + time_budget < time.time() \
+                and time_budget:
             print("  wall-clock budget exhausted — stopping", flush=True)
             return True
         return False
 
+    _tb0 = {}  # budget clock starts at the first completed epoch
     t0 = time.time()
     ts, last = agent.train(
         max_epochs=max_epochs_cap, on_epoch=on_epoch, log_every=25
@@ -484,11 +486,13 @@ def run_success_task(key: str, max_epochs_cap=None):
                 hit["frames"] = int(metrics["frames"])
                 hit["epoch"] = epoch
                 return True
-        if time_budget and time.time() - t0 > time_budget:
+        if _tb0.setdefault("t", time.time()) + time_budget < time.time() \
+                and time_budget:
             print("  wall-clock budget exhausted — stopping", flush=True)
             return True
         return False
 
+    _tb0 = {}  # budget clock starts at the first completed epoch
     t0 = time.time()
     ts, last = agent.train(max_epochs=cap, on_epoch=on_epoch, log_every=25)
     wall = time.time() - t0

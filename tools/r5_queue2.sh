@@ -18,7 +18,7 @@ run() { # name time_budget [max_epochs] [seed]
   echo "QUEUE2: $name tb=${tb}s rem=${rem}s"
   PARITY_TASKS="$name" PARITY_TIME_BUDGET="$tb" \
     ${cap:+PARITY_MAX_EPOCHS=$cap} ${seed:+PARITY_SEED=$seed} \
-    timeout $(( tb + 360 )) python parity.py \
+    timeout $(( tb + 600 )) python parity.py \
     > "runs/r5/${name}${seed:+_s$seed}.log" 2>&1
   echo "QUEUE2: $name done rc=$? $(date +%s)"
 }
@@ -30,3 +30,8 @@ run AllegroHand 450 2400
 run IndustRealTaskPegsInsert 400 512
 run Trifinger 300 1024
 echo "QUEUE2: all done $(date +%s)"
+if [ $(( DEADLINE - $(date +%s) )) -gt 180 ]; then
+  BENCH_TASKS=AnymalTerrain timeout $(( DEADLINE - $(date +%s) )) \
+    python bench.py > runs/r5/bench_terrain2.log 2>&1
+  echo "QUEUE2: terrain bench done rc=$?"
+fi
