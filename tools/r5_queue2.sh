@@ -16,7 +16,7 @@ run() { # name time_budget [max_epochs] [seed]
   if [ "$rem" -lt 100 ]; then echo "QUEUE2: deadline, skip $name"; return; fi
   if [ "$tb" -gt $(( rem - 50 )) ]; then tb=$(( rem - 50 )); fi
   echo "QUEUE2: $name tb=${tb}s rem=${rem}s"
-  PARITY_TASKS="$name" PARITY_TIME_BUDGET="$tb" \
+  env PARITY_TASKS="$name" PARITY_TIME_BUDGET="$tb" \
     ${cap:+PARITY_MAX_EPOCHS=$cap} ${seed:+PARITY_SEED=$seed} \
     timeout $(( tb + 600 )) python parity.py \
     > "runs/r5/${name}${seed:+_s$seed}.log" 2>&1
