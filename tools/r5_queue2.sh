@@ -35,3 +35,5 @@ if [ $(( DEADLINE - $(date +%s) )) -gt 180 ]; then
     python bench.py > runs/r5/bench_terrain2.log 2>&1
   echo "QUEUE2: terrain bench done rc=$?"
 fi
+run FactoryTaskNutBoltScrew 420 2048
+echo "QUEUE2: tail done $(date +%s)"
