@@ -415,7 +415,8 @@ def run_success_task(key: str, max_epochs_cap=None):
     from isaacgymenvs_tpu.utils.config import load_config
 
     spec = SUCCESS_SPECS[key]
-    cfg = load_config(list(spec["overrides"]) + ["headless=True"])
+    extra = [o for o in os.environ.get("PARITY_OVERRIDES", "").split() if o]
+    cfg = load_config(list(spec["overrides"]) + extra + ["headless=True"])
     env = task_map[cfg["task_name"]](cfg["task"])
     train_params = cfg["train"]["params"]
     seed = int(os.environ.get("PARITY_SEED", cfg.get("seed", 42)))
