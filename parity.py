@@ -567,6 +567,10 @@ def main():
             results[key] = {"error": f"{type(e).__name__}: {e}"}
         json.dump(results, open(path, "w"), indent=1)
 
+    write_md(results)
+
+
+def write_md(results):
     # regenerate the human-readable table
     lines = [
         "# PARITY — learning-curve milestones vs the reference budgets",
